@@ -1,0 +1,421 @@
+"""Per-document extraction kernels (N2-N4, N7, N8, F3-F5).
+
+Each function is a deterministic reimplementation of the corresponding
+reference behaviour (file:line cited per function), written to run inside
+Arrow-batched pandas UDFs. The statistical channels the reference delegates
+to jieba / CoreNLP (``NER.py:132-158``) are replaced by a deterministic
+trigger-window rule NER over the surname gazetteer — same *what* (find
+person-name mentions), hermetic *how*.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..gazetteers import (
+    ALIAS_TYPES,
+    BIG_BROTHER_CHARS,
+    BIG_BROTHER_ORDER,
+    BIG_SISTER_CHARS,
+    BIG_SISTER_ORDER,
+    BOY_ORDER_CHILD,
+    GIRL_ORDER_CHILD,
+    MAN_PARENT_CHARS,
+    MAN_SPOUSE_CHARS,
+    MONK_SUFFIXES,
+    NAME_BLOCKLIST,
+    NAME_SURNAMES,
+    OTHER_PARENT_CHARS,
+    PLACE_NAMES,
+    SMALL_BROTHER_CHARS,
+    SMALL_BROTHER_ORDER,
+    SMALL_SISTER_CHARS,
+    SMALL_SISTER_ORDER,
+    SURNAMES,
+    WOMAN_PARENT_CHARS,
+    WOMAN_SPOUSE_CHARS,
+)
+
+HEART = "💗"  # no-family-name-prepend marker (NER.py:247-250)
+KIN_TEMP_TYPE = "親屬關係暫存"  # packed (biographee, kinship) alias type (NER.py:172)
+
+# Sorted longest-first so prefix probes are longest-match deterministic
+# (the reference iterates an unordered set — NER.py:261-265; ambiguity never
+# arises in its data, longest-match is the deterministic resolution).
+_SURNAMES_BY_LEN = sorted(SURNAMES, key=len, reverse=True)
+_NAME_SURNAMES_BY_LEN = sorted(NAME_SURNAMES, key=len, reverse=True)
+
+_AUTHOR_RE = re.compile(r"（([\w、]+)撰寫?）")
+_TITLE_HEAD_RE = re.compile(r"^([^（]{1,8})（")
+_ENGLISH_HEAD_RE = re.compile(r"[a-zA-Z ]+")
+_KIN_STOP = r"[是。為，（在、務\(\<\:]"
+
+
+def surname_of(name: str) -> str | None:
+    """Longest surname prefix, else None (NER.py:261-265)."""
+    for s in _SURNAMES_BY_LEN:
+        if name.startswith(s):
+            return s
+    return None
+
+
+# ---------------------------------------------------------------- N8 -----
+@dataclass
+class TitleInfo:
+    biographee: str | None = None
+    english_name: str | None = None  # keeps the trailing ，(dead-branch quirk)
+    birth: str | None = None
+    death: str | None = None
+    authors: list[str] = field(default_factory=list)
+    norm_text: str = ""
+
+
+def extract_title(text: str) -> TitleInfo:
+    """Author + title extraction and removal (Preprocess.py:151-174).
+
+    The reference's title regex has 3 groups so its ``len(groups)==2``
+    branch is dead: group 1 (incl. trailing ，) always lands in
+    EnglishName. Reproduced. The biographee name comes from the leading
+    run before （ (the reference takes it from its TOC registry)."""
+    info = TitleInfo(norm_text=text)
+    m = _AUTHOR_RE.search(text)
+    if m is not None:
+        info.authors = m.group(1).split("、")
+        text = text.replace(m.group(0), "")
+    head = _TITLE_HEAD_RE.match(text)
+    if head is None:
+        info.norm_text = text
+        return info
+    name = head.group(1)
+    title_re = re.escape(name) + r"（(.+，)?([\d?.？]*)-([\d?.？]*)）"
+    tm = re.search(title_re, text)
+    if tm is None:
+        info.norm_text = text
+        return info
+    info.biographee = name
+    info.english_name = tm.group(1)  # may be None; keeps trailing ，
+    info.birth = tm.group(2)
+    info.death = tm.group(3)
+    info.norm_text = text.replace(tm.group(0), "")
+    return info
+
+
+# ---------------------------------------------------------------- N3 -----
+def get_kin_name(identifier: str, text: str, kinship: str) -> tuple[set, set]:
+    """Kin-template name extraction (NER.py:215-258).
+
+    Returns (names, alias_tuples); alias tuples with alias=None are the
+    kinship placeholders later packed as 親屬關係暫存."""
+    m = re.search(r"[。，:]({})(\w+?){}".format(identifier, _KIN_STOP), text)
+    if m is None:
+        return set(), set()
+    candidate = m.group(2)
+    surname = surname_of(candidate)
+    if kinship not in ("女兒", "兒子") and surname is None:
+        return set(), set()
+    if len(candidate) > 4:
+        # reference re-segments with jieba and keeps the first n-tagged
+        # token (NER.py:232-237); deterministic stand-in: longest surname
+        # prefix + two chars.
+        if surname is not None:
+            name = candidate[: len(surname) + 2]
+        else:
+            return set(), set()
+    else:
+        name = candidate
+
+    alias_tuples: set = set()
+    m2 = re.search(r"{}{}（([a-zA-Z].+?)）".format(re.escape(m.group(1)), re.escape(m.group(2))), text)
+    if m2 is not None:
+        m3 = re.search(_ENGLISH_HEAD_RE, m2.group(1))
+        if kinship in ("女兒", "兒子"):
+            name = HEART + name  # NER.py:249-250
+        alias_tuples.add((name, "英文名", m3.group(0)))
+    alias_tuples.add((name, kinship, None))
+    return {name}, alias_tuples
+
+
+def get_other_kinship_names(text: str) -> tuple[set, set]:
+    """Parents/siblings in ¶1; other-parents over the whole text
+    (NER.py:178-212)."""
+    first_para = text.split("\n\n")[0]
+    names: set = set()
+    tuples: set = set()
+    for chars, kin in ((MAN_PARENT_CHARS, "父"), (WOMAN_PARENT_CHARS, "母")):
+        n, t = get_kin_name("|".join(chars), first_para, kin)
+        names |= n
+        tuples |= t
+    for other in OTHER_PARENT_CHARS:
+        n, t = get_kin_name(other, text, other)
+        names |= n
+        tuples |= t
+    for chars, kin in (
+        (BIG_BROTHER_CHARS, "兄"),
+        (SMALL_BROTHER_CHARS, "弟"),
+        (BIG_SISTER_CHARS, "姐"),
+        (SMALL_SISTER_CHARS, "妹"),
+    ):
+        n, t = get_kin_name("|".join(chars), first_para, kin)
+        names |= n
+        tuples |= t
+    for orders, kin in (
+        (BIG_BROTHER_ORDER, "兄"),
+        (SMALL_BROTHER_ORDER, "弟"),
+        (BIG_SISTER_ORDER, "姐"),
+        (SMALL_SISTER_ORDER, "妹"),
+    ):
+        for order in orders:
+            n, t = get_kin_name(order, first_para, kin)
+            names |= n
+            tuples |= t
+    return names, tuples
+
+
+def get_continuous_child_names(text: str, kinship: str) -> tuple[set, set]:
+    """Enumerated-children form 育有N子N女，a、b、c (NER.py:363-413)."""
+    m = re.search(r"育有?(\d子)?(\d女)?(.*?)(。|，)", text)
+    if m is None:
+        return set(), set()
+    if m.group(3) != "":
+        unchecked = m.group(3).split("、")
+    else:
+        m2 = re.search(r"(.+?)(。|，)", text[m.end() :])
+        if m2 is None:
+            return set(), set()
+        m3 = re.search(r"(為|是)(：|:)?(.+)", m2.group(1))
+        if m3 is not None:
+            unchecked = m3.group(3).split("、")
+        else:
+            unchecked = m2.group(1).split("、")
+
+    names: set = set()
+    tuples: set = set()
+    for raw in unchecked:
+        kin = kinship
+        if raw.startswith("子"):
+            kin, raw = "兒子", raw[1:]
+        elif raw.startswith("女"):
+            kin, raw = "女兒", raw[1:]
+        pm = re.search(r"(.+)（(.+?)）", raw)
+        if pm is not None:
+            em = re.match(r"[a-zA-Z ]+", pm.group(2))
+            if em is not None:
+                raw = HEART + pm.group(1)
+                tuples.add((raw, "英文名", em.group(0)))
+            else:
+                raw = pm.group(1)
+        names.add(raw)
+        tuples.add((raw, kin, None))
+    return names, tuples
+
+
+def prepend_family_name(items: set, family_name: str | None) -> set:
+    """Family-name prepend with 💗 / 原形 quirks (NER.py:415-447)."""
+    if family_name is None:
+        return items
+    result: set = set()
+    for el in items:
+        name = el if isinstance(el, str) else el[0]
+        prepended = False
+        if name.startswith(HEART):
+            new = name[1:]
+        elif name.startswith(family_name):
+            new = name
+        else:
+            new = family_name + name
+            prepended = True
+        if isinstance(el, str):
+            result.add(new)
+        else:
+            result.add((new, el[1], el[2]))
+            if prepended:
+                result.add((new, "原形", name))
+    return result
+
+
+def get_names_child_and_spouse(text: str, biographee: str) -> tuple[set, set]:
+    """Spouse + children in the last two paragraphs (NER.py:267-360)."""
+    splits = text.split("\n\n")
+    paragraph = "\n\n".join(splits[-2:]) if len(splits) >= 3 else splits[-1]
+
+    man_sp_names, man_sp_tuples = get_kin_name("|".join(MAN_SPOUSE_CHARS), paragraph, "夫")
+    woman_sp_names, woman_sp_tuples = get_kin_name("|".join(WOMAN_SPOUSE_CHARS), paragraph, "妻")
+
+    if len(woman_sp_names) == 1:
+        is_man = True
+    elif len(man_sp_names) == 1:
+        is_man = False
+    else:
+        is_man = True
+    if is_man:
+        family_name = surname_of(biographee)
+    else:
+        family_name = surname_of(next(iter(man_sp_names)))
+
+    girl_names: set = set()
+    girl_tuples: set = set()
+    for order in GIRL_ORDER_CHILD:
+        n, t = get_kin_name(order, paragraph, "女兒")
+        girl_names |= n
+        girl_tuples |= t
+    boy_names: set = set()
+    boy_tuples: set = set()
+    for order in BOY_ORDER_CHILD:
+        n, t = get_kin_name(order, paragraph, "兒子")
+        boy_names |= n
+        boy_tuples |= t
+
+    # 育有-driven enumerated form (NER.py:327-351)
+    m = re.search(r"育有\w+?[，。：（]", paragraph)
+    not_found = None
+    if m is not None:
+        if len(boy_names) == 0 or len(girl_names) == 0:
+            if "女" in m.group(0) and "子" in m.group(0):
+                not_found = "兒女"
+            elif "女" in m.group(0):
+                not_found = "女兒"
+            elif "子" in m.group(0) and len(boy_names) == 0:
+                not_found = "兒子"
+        elif len(boy_names) == 0 and "子" in m.group(0):
+            not_found = "兒子"
+        elif len(girl_names) == 0 and "女" in m.group(0):
+            not_found = "女兒"
+    cont_names: set = set()
+    cont_tuples: set = set()
+    if not_found is not None:
+        cont_names, cont_tuples = get_continuous_child_names(paragraph, not_found)
+
+    child_names = prepend_family_name(girl_names | boy_names | cont_names, family_name)
+    child_tuples = prepend_family_name(girl_tuples | boy_tuples | cont_tuples, family_name)
+    return (
+        child_names | man_sp_names | woman_sp_names,
+        child_tuples | man_sp_tuples | woman_sp_tuples,
+    )
+
+
+def get_names_kinship(text: str, biographee: str) -> tuple[set, set]:
+    """All kinship names; placeholder tuples packed as
+    (name, 親屬關係暫存, "biographee:kinship") (NER.py:161-176)."""
+    cs_names, cs_tuples = get_names_child_and_spouse(text, biographee)
+    ok_names, ok_tuples = get_other_kinship_names(text)
+    packed: set = set()
+    for name, alias_type, alias in ok_tuples | cs_tuples:
+        if alias is None:
+            packed.add((name, KIN_TEMP_TYPE, f"{biographee}:{alias_type}"))
+        else:
+            packed.add((name, alias_type, alias))
+    return ok_names | cs_names, packed
+
+
+# ---------------------------------------------------------------- N2 -----
+# Deterministic rule NER: a surname immediately after a trigger char,
+# taking surname + 2 chars. Replaces the jieba-nr / CoreNLP-PERSON
+# statistical channels (NER.py:132-158) hermetically.
+_NER_TRIGGERS = "與和被因為娶偕同跟向稱請邀及暨"
+_TRIGGER_RE = re.compile("[{}]".format(_NER_TRIGGERS))
+
+
+def rule_ner_names(text: str) -> set:
+    names: set = set()
+    for m in _TRIGGER_RE.finditer(text):
+        start = m.end()
+        rest = text[start : start + 6]
+        for s in _SURNAMES_BY_LEN:
+            if rest.startswith(s):
+                cand = rest[: len(s) + 2]
+                if len(cand) == len(s) + 2 and re.fullmatch(r"\w+", cand):
+                    names.add(cand)
+                break
+    return names
+
+
+# ------------------------------------------------------------- F3-F5 -----
+def process_and_filter_names(names: set) -> set:
+    """Name sanity filter + surname acceptance + substring-dominance dedup
+    (NER.py:450-485)."""
+    first: set = set()
+    for name in names:
+        if (
+            1 < len(name) <= 4
+            and name[-1] != "寺"
+            and name not in NAME_BLOCKLIST
+            and re.match("[a-zA-Z]", name) is None
+            and name not in PLACE_NAMES
+            and not (name[-1] == "人" and name[:-1] in PLACE_NAMES)
+        ):
+            for s in _NAME_SURNAMES_BY_LEN:
+                if name.startswith(s):
+                    first.add(name)
+                    break
+            for monk in MONK_SUFFIXES:
+                if name.endswith(monk):
+                    first.add(name)
+    # substring dominance: drop names contained in another extracted name.
+    # O(N²) stays inside one conversation's small name set (SURVEY F5).
+    out: set = set()
+    lst = list(first)
+    for n1 in lst:
+        if not any(n1 != n2 and n1 in n2 for n2 in lst):
+            out.add(n1)
+    return out
+
+
+# ---------------------------------------------------------------- N4 -----
+def get_english_names(text: str, names: set) -> set:
+    """name（English…）→ 英文名 alias (NER.py:487-494)."""
+    out: set = set()
+    for name in names:
+        m = re.search(r"{}（([a-zA-Z].*?)）".format(re.escape(name)), text)
+        if m is not None:
+            m2 = re.search(_ENGLISH_HEAD_RE, m.group(1))
+            out.add((name, "英文名", m2.group(0)))
+    return out
+
+
+def get_other_names(text: str, biographee: str) -> set:
+    """字/號/… alias extraction from ¶1 (NER.py:496-512)."""
+    out: set = set()
+    sent = text.split("\n\n")[0]
+    for alias_type in ALIAS_TYPES:
+        m = re.search("{}(.*?)[，。]".format(alias_type), sent)
+        if m is not None:
+            for alias in m.group(1).split("、"):
+                out.add((biographee, alias_type, alias))
+    return out
+
+
+# ---------------------------------------------------------------- N7 -----
+_PLACES_ALTERNATION = "|".join(PLACE_NAMES)
+_HOMETOWN_RE = re.compile(r"({})人(，|。)".format(_PLACES_ALTERNATION))
+
+
+def extract_hometown(text: str) -> str | None:
+    """First ({place})人[，。] match (Biographee_Info.py:22-28)."""
+    m = _HOMETOWN_RE.search(text)
+    return m.group(1) if m is not None else None
+
+
+# --------------------------------------------------------------- glue ----
+def extract_names_from_conv(text: str, biographee: str | None) -> tuple[set, set]:
+    """Stage-1 per-conversation extraction (NER.py:98-129): union the
+    channels, filter, keep alias tuples whose name survived."""
+    names: set = set()
+    if biographee:
+        names.add(biographee)
+    names |= rule_ner_names(text)
+    kin_names: set = set()
+    kin_tuples: set = set()
+    if biographee:
+        kin_names, kin_tuples = get_names_kinship(text, biographee)
+    names |= kin_names
+    names = process_and_filter_names(names)
+
+    eng_tuples = get_english_names(text, names)
+    other_tuples = get_other_names(text, biographee) if biographee else set()
+    alias_tuples = {
+        (name, alias_type, alias)
+        for (name, alias_type, alias) in (eng_tuples | other_tuples | kin_tuples)
+        if name in names
+    }
+    return names, alias_tuples

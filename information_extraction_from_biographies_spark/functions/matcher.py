@@ -1,0 +1,128 @@
+"""Aho-Corasick multi-pattern matcher (J1 — the mention-scan join).
+
+The reference's mention scan is a nested-loop theta join: for every person
+and every alias, ``text.find(surface)`` (``Utilities.py:49-67``) — O(|texts|
+× |dictionary|). Expressed in SQL that plans as a BroadcastNestedLoopJoin.
+This matcher makes it one pass per text over a broadcast automaton:
+O(|text| + matches), the physical strategy SURVEY.md §4 calls for.
+
+Built once on the driver from the people registry, pickled into the pandas
+UDF closure, so each executor pays construction once per task set.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+
+class AhoCorasick:
+    """Multi-pattern string matcher over unicode code points."""
+
+    def __init__(self, patterns: list[str]) -> None:
+        # goto: list of dicts char -> state; output: pattern indices ending here
+        self._goto: list[dict[str, int]] = [{}]
+        self._out: list[list[int]] = [[]]
+        self._fail: list[int] = [0]
+        self.patterns: list[str] = []
+        for pat in patterns:
+            self._insert(pat)
+        self._build_links()
+
+    def _insert(self, pat: str) -> None:
+        if not pat:
+            return
+        idx = len(self.patterns)
+        self.patterns.append(pat)
+        state = 0
+        for ch in pat:
+            nxt = self._goto[state].get(ch)
+            if nxt is None:
+                nxt = len(self._goto)
+                self._goto.append({})
+                self._out.append([])
+                self._fail.append(0)
+                self._goto[state][ch] = nxt
+            state = nxt
+        self._out[state].append(idx)
+
+    def _build_links(self) -> None:
+        queue: deque[int] = deque()
+        for state in self._goto[0].values():
+            self._fail[state] = 0
+            queue.append(state)
+        while queue:
+            cur = queue.popleft()
+            for ch, nxt in self._goto[cur].items():
+                queue.append(nxt)
+                fail = self._fail[cur]
+                while fail and ch not in self._goto[fail]:
+                    fail = self._fail[fail]
+                self._fail[nxt] = self._goto[fail].get(ch, 0)
+                if self._fail[nxt] == nxt:
+                    self._fail[nxt] = 0
+                self._out[nxt] = self._out[nxt] + self._out[self._fail[nxt]]
+
+    def finditer(self, text: str):
+        """Yield (start, pattern_index) for every occurrence."""
+        state = 0
+        for i, ch in enumerate(text):
+            while state and ch not in self._goto[state]:
+                state = self._fail[state]
+            state = self._goto[state].get(ch, 0)
+            if self._out[state]:
+                for pat_idx in self._out[state]:
+                    yield i - len(self.patterns[pat_idx]) + 1, pat_idx
+
+    def contained(self, text: str) -> set[int]:
+        """Distinct pattern indices occurring in ``text`` — the containment
+        semantics of the reference's ``text.find(x) != -1`` probe."""
+        return {pat_idx for _, pat_idx in self.finditer(text)}
+
+
+class SurfaceIndex:
+    """Surface → persons mapping backed by one Aho-Corasick automaton.
+
+    A surface form (name or alias) may belong to several persons (shared
+    號 etc.); the reference's scan likewise appends every person whose
+    surface is found (``Utilities.py:49-67``).
+    """
+
+    def __init__(self, surface_persons: list[tuple[str, str, str]]) -> None:
+        """``surface_persons``: (surface, person_name, surface_kind) where
+        surface_kind is 'name' or the alias type."""
+        self._surfaces: list[str] = []
+        self._payloads: list[list[tuple[str, str]]] = []
+        seen: dict[str, int] = {}
+        for surface, person, kind in surface_persons:
+            if not surface:
+                continue
+            pos = seen.get(surface)
+            if pos is None:
+                pos = len(self._surfaces)
+                seen[surface] = pos
+                self._surfaces.append(surface)
+                self._payloads.append([])
+            self._payloads[pos].append((person, kind))
+        self._ac = AhoCorasick(self._surfaces)
+
+    def persons_in(self, text: str) -> list[tuple[str, str, str]]:
+        """All (person, surface, kind) with surface contained in text,
+        deterministic order (by surface then person)."""
+        hits = sorted(self._ac.contained(text))
+        out = []
+        for idx in hits:
+            surface = self._surfaces[idx]
+            for person, kind in sorted(self._payloads[idx]):
+                out.append((person, surface, kind))
+        return out
+
+    def distinct_persons_in(self, text: str) -> list[str]:
+        """repeatOK=False semantics: each person at most once
+        (Utilities.py:60-65 first-hit short circuit)."""
+        seen: set[str] = set()
+        out = []
+        for person, _, _ in self.persons_in(text):
+            if person not in seen:
+                seen.add(person)
+                out.append(person)
+        return out

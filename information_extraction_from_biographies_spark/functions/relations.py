@@ -1,0 +1,203 @@
+"""Verb-phrase relation extraction (N5) — rule cascade over a lightweight
+dependency annotation.
+
+The reference calls a CoreNLP depparse server per clause and runs a rule
+cascade over a *surface-form-keyed* token dict (``Relationship.py:73-164``;
+collisions last-win). The cascade here preserves those semantics exactly —
+rule order, immediate returns, substring guards, verb-over-noun priority,
+the "there has no relationships" sentinel. The dependency annotation itself
+is a deterministic lexicon/pattern annotator (no network service): tokens
+are longest-match segmented over known surfaces + verb/noun lexicons, and
+dependencies come from four biographical-idiom patterns (被-agent, copula,
+因…的-attribution, verb-object adjacency).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..gazetteers import KINSHIP_CHARS, NOUN_LEXICON, VERB_LEXICON
+
+_PARTICLES = set("與和被因的為其是於而了之在到至及暨並亦也皆均曾遂乃即後時年月日")
+_SENTINEL = "there has no relationships"
+
+
+def _segment(clause: str, surfaces: list[str]) -> list[tuple[str, str]]:
+    """Longest-match segmentation → [(token, pos)].
+
+    pos ∈ NR (known surface), VV (verb lexicon), NN (noun lexicon),
+    P (particle), CD (digits), X (single unknown char)."""
+    lex: list[tuple[str, str]] = []
+    for s in surfaces:
+        if s:
+            lex.append((s, "NR"))
+    for v in VERB_LEXICON:
+        lex.append((v, "VV"))
+    for n in NOUN_LEXICON:
+        lex.append((n, "NN"))
+    lex.sort(key=lambda t: len(t[0]), reverse=True)
+
+    tokens: list[tuple[str, str]] = []
+    i = 0
+    while i < len(clause):
+        hit = None
+        for word, pos in lex:
+            if clause.startswith(word, i):
+                hit = (word, pos)
+                break
+        if hit is not None:
+            tokens.append(hit)
+            i += len(hit[0])
+            continue
+        ch = clause[i]
+        if ch.isdigit():
+            m = re.match(r"\d+", clause[i:])
+            tokens.append((m.group(0), "CD"))
+            i += len(m.group(0))
+        elif ch in _PARTICLES:
+            tokens.append((ch, "P"))
+            i += 1
+        else:
+            tokens.append((ch, "X"))
+            i += 1
+    return tokens
+
+
+def build_dep_dict(clause: str, surfaces: list[str]) -> dict:
+    """Surface-form-keyed token dict with dependencies, mirroring the shape
+    of the reference's build_dict (Relationship.py:147-164) including
+    last-wins collisions on repeated surface forms."""
+    tokens = _segment(clause, surfaces)
+    d: dict[str, dict] = {}
+    for word, pos in tokens:
+        d[word] = {"pos": pos, "dependency": {}}
+
+    n = len(tokens)
+    for idx, (word, pos) in enumerate(tokens):
+        # 被 NAME VERB… → the verb's agent: nsubj(verb)=NAME
+        if word == "被" and idx + 1 < n and tokens[idx + 1][1] == "NR":
+            name = tokens[idx + 1][0]
+            for w2, p2 in tokens[idx + 2 :]:
+                if p2 == "VV":
+                    d[w2]["dependency"]["nsubj"] = name
+                    break
+        # NOUN 為 NAME → copula: nsubj(NAME)=NOUN (cascade rule (i) input,
+        # cf. the 母亲为xxx comment at Relationship.py:90)
+        if word == "為" and 0 < idx < n - 1:
+            prev_w, prev_p = tokens[idx - 1]
+            nxt_w, nxt_p = tokens[idx + 1]
+            if nxt_p == "NR" and prev_p in ("NN", "X"):
+                d[nxt_w]["dependency"]["nsubj"] = prev_w
+        # 因 NAME 的 W → attribution: W becomes NN with nmod:assmod=NAME
+        if word == "因" and idx + 3 < n and tokens[idx + 1][1] == "NR" and tokens[idx + 2][0] == "的":
+            w3 = tokens[idx + 3][0]
+            d[w3]["pos"] = "NN"
+            d[w3]["dependency"]["nmod:assmod"] = tokens[idx + 1][0]
+        # VERB NOUN adjacency → dobj
+        if pos == "VV" and idx + 1 < n and tokens[idx + 1][1] == "NN":
+            d[word]["dependency"].setdefault("dobj", tokens[idx + 1][0])
+    return d
+
+
+def relation_cascade(dep_dict: dict, main_char: str, obj: str) -> list[str] | str:
+    """The reference rule cascade, semantics-exact (Relationship.py:89-145).
+
+    Returns triple strings "subj pred obj" or the sentinel string (which
+    downstream ``extend``s char-wise and the 3-token filter drops —
+    Relationship.py:145,46,170-171)."""
+    verb_output: list[str] = []
+    nn_output: list[str] = []
+    if obj in dep_dict:
+        if "nsubj" in dep_dict[obj]["dependency"]:
+            return ["{} {} {}".format(main_char, dep_dict[obj]["dependency"]["nsubj"], obj)]
+    for word in dep_dict:
+        if dep_dict[word]["pos"] == "VV":
+            if (word not in obj) and (word not in main_char):
+                deps = dep_dict[word]["dependency"]
+                if "nsubj" in deps:
+                    nsubj = deps["nsubj"]
+                    if "dobj" in deps:
+                        dobj = deps["dobj"]
+                        if nsubj == main_char:
+                            if dobj == obj:
+                                verb_output.append("{} {} {}".format(main_char, word, obj))
+                            else:
+                                verb_output.append("{} {}{} {}".format(main_char, word, dobj, obj))
+                        else:
+                            if dobj == obj:
+                                verb_output.append("{} {}{} {}".format(main_char, nsubj, word, obj))
+                            else:
+                                verb_output.append("{} {}{}{} {}".format(main_char, nsubj, word, dobj, obj))
+                    else:
+                        if (nsubj == obj) or (nsubj == main_char):
+                            verb_output.append("{} {} {}".format(obj, word, main_char))
+                        else:
+                            verb_output.append("{} {}{} {}".format(obj, nsubj, word, main_char))
+                else:
+                    if "dobj" in deps:
+                        dobj = deps["dobj"]
+                        if dobj == obj:
+                            verb_output.append("{} {} {}".format(main_char, word, obj))
+                        else:
+                            verb_output.append("{} {}{} {}".format(main_char, word, dobj, obj))
+                    else:
+                        verb_output.append("{} {} {}".format(main_char, word, obj))
+        else:
+            word_dep = dep_dict[word]["dependency"]
+            if "nmod:assmod" in word_dep and word_dep["nmod:assmod"] == obj:
+                return ["{} {} {}".format(obj, word, main_char)]
+            for dp in word_dep:
+                if dp == "case" and dep_dict[word]["pos"] == "NN":
+                    nn_output.append("{} {} {}".format(obj, word, main_char))
+                elif word_dep[dp] == obj:
+                    nn_output.append("{} {} {}".format(main_char, word, obj))
+    if verb_output:
+        return verb_output
+    if nn_output:
+        return nn_output
+    return _SENTINEL
+
+
+def filter_relations(relations: list[str]) -> list[tuple[str, str, str]]:
+    """F7: 3-token shape, no self-loops, no kinship predicates
+    (Relationship.py:166-189)."""
+    out: list[tuple[str, str, str]] = []
+    for rel in relations:
+        parts = rel.split()
+        if len(parts) != 3:
+            continue
+        name1, pred, name2 = parts
+        if name1 == name2:
+            continue
+        if any(kin in pred for kin in KINSHIP_CHARS):
+            continue
+        out.append((name1, pred, name2))
+    return out
+
+
+def extract_relations_for_conv(
+    text: str,
+    biographee: str,
+    person_surfaces: list[tuple[str, str]],
+) -> list[tuple[str, str, str]]:
+    """Per-conversation N5 driver (Relationship.py:35-51).
+
+    ``person_surfaces``: (person, surface) for every person detected in the
+    conversation and each of their surfaces (names + aliases) — the scan
+    probes every surface string, as the reference does with
+    get_all_names_of_people (Relationship.py:53-59)."""
+    from .clauses import relation_lines
+
+    raw: list[str] = []
+    seen_surfaces: set[str] = set()
+    for _person, surface in person_surfaces:
+        if not surface or surface in seen_surfaces:
+            continue
+        seen_surfaces.add(surface)
+        for line in relation_lines(text, surface):
+            result = relation_cascade(build_dep_dict(line, [s for _, s in person_surfaces]), biographee, surface)
+            if isinstance(result, list):
+                raw.extend(result)
+            else:
+                raw.extend(result)  # sentinel string extends char-wise (quirk)
+    return filter_relations(raw)

@@ -1,0 +1,111 @@
+"""Stage 3 — entity canonicalization via connected components (J7).
+
+The reference resolves aliases one hop only (alias tuples attached to a
+single Name, NER.py:556-561). The north rule upgrades this to connected
+components over the mention-alias graph: vertices are canonical names and
+alias surfaces; an edge links a name to each of its surfaces; names that
+share a surface land in one component.
+
+Algorithm: iterative min-label propagation — per iteration one shuffle
+hash join (labels ⋈ edges) + one hash aggregate. Converges in O(graph
+diameter) iterations (alias stars have diameter ≤ 4; chains of shared
+aliases add hops). Skew: hub surfaces (an alias shared by thousands of
+names) blow up the join's build side for that key — AQE skew-join splits
+it, and `salt` pre-splits hub keys explicitly (two-phase min). Each
+iteration localCheckpoints to truncate lineage (SURVEY §4 item 3).
+
+Label domain: strings (lexicographic min) — component id = lexicographically
+smallest member, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    salt: int = 0,
+) -> DataFrame:
+    """→ (vertex, component). ``edges`` is undirected input (one row per
+    edge, either orientation)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        if salt > 1:
+            # two-phase min for hub vertices: salt the neighbor-label stream,
+            # take per-(vertex, salt) partial mins, then the final min.
+            prop = (
+                sym.join(labels, sym.src == labels.vertex, "inner")
+                .select(F.col("dst").alias("vertex"), "component")
+                .withColumn("s", F.pmod(F.hash("component"), F.lit(salt)))
+                .groupBy("vertex", "s")
+                .agg(F.min("component").alias("component"))
+                .drop("s")
+            )
+        else:
+            prop = sym.join(labels, sym.src == labels.vertex, "inner").select(
+                F.col("dst").alias("vertex"), "component"
+            )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def alias_edges(aliases: DataFrame) -> DataFrame:
+    """Mention-alias graph edges: (name ↔ alias surface). Packed
+    親屬關係暫存 pseudo-aliases are excluded — they encode relations, not
+    surface identity (NER.py:172)."""
+    from ..functions.extraction import KIN_TEMP_TYPE
+
+    return (
+        aliases.filter(
+            (F.col("alias_type") != KIN_TEMP_TYPE)
+            & F.col("alias").isNotNull()
+            & (F.col("alias") != "")
+        )
+        .select(F.col("name").alias("src"), F.col("alias").alias("dst"))
+        .distinct()
+    )
+
+
+def entity_table(people: DataFrame, aliases: DataFrame, salt: int = 0) -> DataFrame:
+    """→ (name, entity_id): canonical names mapped to their component;
+    singleton names (no aliases) map to themselves."""
+    comp = connected_components(alias_edges(aliases), salt=salt)
+    return (
+        people.join(comp, people.name == comp.vertex, "left")
+        .select(
+            "name",
+            F.coalesce(F.col("component"), F.col("name")).alias("entity_id"),
+        )
+    )

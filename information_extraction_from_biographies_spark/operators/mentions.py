@@ -1,0 +1,96 @@
+"""Stage 1 — mention/name extraction and the global people registry.
+
+Per-conversation extraction (N2 rule NER ∪ N3 kinship ∪ filters F3-F5,
+alias channels N4) runs as ONE applyInPandas over conv-grouped turns —
+a single shuffle on conv_id (repartition-by-range keeps long conversations
+spread). Registry assembly (U1/U2/U4 and the upsert-re-add quirk,
+NER.py:542-561) is pure relational Spark: distinct / left_anti / union.
+
+Scale notes: groups are single conversations (bounded); the O(N²)
+substring dedup (F5) is per-conv. Registry dedup is a hash aggregate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..functions.extraction import extract_names_from_conv
+
+_EXTRACT_SCHEMA = "conv_id string, kind string, name string, alias_type string, alias string"
+
+
+def conv_text_of(pdf: pd.DataFrame, col: str = "norm_text") -> str:
+    """Paragraph-joined conversation text under stable turn ordering (W4)."""
+    ordered = pdf.sort_values("turn_idx")
+    return "\n\n".join(str(t) for t in ordered[col] if t is not None)
+
+
+def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    conv_id = pdf["conv_id"].iloc[0]
+    text = conv_text_of(pdf)
+    bio_vals = [b for b in pdf["biographee"] if isinstance(b, str) and b]
+    biographee = bio_vals[0] if bio_vals else None
+    names, alias_tuples = extract_names_from_conv(text, biographee)
+    rows = [
+        {"conv_id": conv_id, "kind": "name", "name": n, "alias_type": None, "alias": None}
+        for n in sorted(names)
+    ] + [
+        {"conv_id": conv_id, "kind": "alias", "name": n, "alias_type": t, "alias": a}
+        for (n, t, a) in sorted(alias_tuples)
+    ]
+    return pd.DataFrame(rows, columns=["conv_id", "kind", "name", "alias_type", "alias"])
+
+
+def extract_people(turns: DataFrame, meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (conv_names, conv_aliases), both per-conversation.
+
+    conv_names:   (conv_id, name)
+    conv_aliases: (conv_id, name, alias_type, alias)
+    """
+    # biographee travels with the group: broadcast-join meta onto turns
+    # (meta is |convs| rows of a few strings — well under the threshold for
+    # dims derived per-conv; at extreme scale it is co-partitioned instead).
+    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
+        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
+    )
+    extracted = enriched.groupBy("conv_id").applyInPandas(_extract_group, schema=_EXTRACT_SCHEMA)
+    conv_names = extracted.filter(F.col("kind") == "name").select("conv_id", "name")
+    conv_aliases = extracted.filter(F.col("kind") == "alias").select(
+        "conv_id", "name", "alias_type", "alias"
+    )
+    return conv_names, conv_aliases
+
+
+def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Global people registry (NER.py:542-561).
+
+    people:  (name)                        — distinct canonical names
+    aliases: (name, alias_type, alias)     — distinct alias tuples
+
+    Semantics: names minus alias *values* (U4 left_anti, NER.py:543-544),
+    then the alias-push upsert re-creates any person named in an alias
+    tuple (find_and_modify(upsert=True), NER.py:556-561).
+    """
+    names = conv_names.select("name").distinct()
+    aliases = conv_aliases.select("name", "alias_type", "alias").distinct()
+    alias_values = aliases.select(F.col("alias").alias("name")).distinct()
+    people = (
+        names.join(alias_values, "name", "left_anti")
+        .unionByName(aliases.select("name"))
+        .distinct()
+    )
+    return people, aliases
+
+
+def registry_surfaces(people: DataFrame, aliases: DataFrame) -> DataFrame:
+    """(person, surface, kind): each person's canonical name plus every
+    alias surface — the probe dictionary for the J1 mention scan."""
+    name_rows = people.select(
+        F.col("name").alias("person"), F.col("name").alias("surface"), F.lit("name").alias("kind")
+    )
+    alias_rows = aliases.select(
+        F.col("name").alias("person"), F.col("alias").alias("surface"), F.col("alias_type").alias("kind")
+    )
+    return name_rows.unionByName(alias_rows).distinct()

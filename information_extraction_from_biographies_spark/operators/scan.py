@@ -1,0 +1,75 @@
+"""J1 — the mention-scan join (people registry ⋈ conversation text).
+
+Semantically ``transcripts JOIN registry ON contains(text, surface)`` — a
+BroadcastNestedLoopJoin if written in SQL. The scalable physical strategy
+(SURVEY.md §4) is an Aho-Corasick automaton over the broadcast registry,
+one pass per conversation inside applyInPandas.
+
+Emits two row kinds per conversation:
+- 'occ'    — clause-positioned occurrences (repeatOK=True semantics:
+             one row per (clause, person, surface) containment,
+             Utilities.py:49-67 + Cooccurrence.py:35-53, incl. the
+             dropped-trailing-clause quirk)
+- 'person' — distinct persons found anywhere in the full text
+             (repeatOK=False scan; feeds A4 biographee priors and N5)
+
+Scale notes: the automaton is built once on the driver and shipped in the
+UDF closure (≈100 B/surface; a 10^7-surface registry is ~1 GB — at that
+scale it would be built per-executor from a registry parquet via a
+mapPartitions initializer; the algorithmic shape is unchanged).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..functions.clauses import split_clauses_with_positions
+from ..functions.extraction import KIN_TEMP_TYPE
+from ..functions.matcher import SurfaceIndex
+
+_SCAN_SCHEMA = "conv_id string, kind string, pos int, person string, surface string"
+
+
+def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndex:
+    """Collect the registry and build the automaton (driver-side).
+
+    親屬關係暫存-packed pseudo-aliases are kept — the reference probes them
+    too (Utilities.py:58-63); they simply never match text."""
+    rows = [
+        (r["surface"], r["person"], r["kind"])
+        for r in surfaces_df.collect()
+        if r["surface"] is not None
+    ]
+    return SurfaceIndex(rows)
+
+
+def scan_mentions(turns: DataFrame, index: SurfaceIndex) -> DataFrame:
+    """→ (conv_id, kind, pos, person, surface); see module docstring."""
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        ordered = pdf.sort_values("turn_idx")
+        text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
+        rows = []
+        for person in index.distinct_persons_in(text):
+            rows.append((conv_id, "person", -1, person, None))
+        for clause, pos in split_clauses_with_positions(text):
+            for person, surface, _k in index.persons_in(clause):
+                rows.append((conv_id, "occ", pos, person, surface))
+        return pd.DataFrame(rows, columns=["conv_id", "kind", "pos", "person", "surface"])
+
+    return (
+        turns.select("conv_id", "turn_idx", "norm_text")
+        .groupBy("conv_id")
+        .applyInPandas(_scan, schema=_SCAN_SCHEMA)
+    )
+
+
+def occurrences(scan: DataFrame) -> DataFrame:
+    return scan.filter(F.col("kind") == "occ").select("conv_id", "pos", "person", "surface")
+
+
+def persons_in_conv(scan: DataFrame) -> DataFrame:
+    return scan.filter(F.col("kind") == "person").select("conv_id", "person")

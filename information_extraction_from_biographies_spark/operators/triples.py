@@ -1,0 +1,154 @@
+"""Stage 2 — candidate (subj, pred, obj) triple extraction.
+
+Four channels, each a named `source`:
+
+- kinship   — restore of the 親屬關係暫存 packing (J4, Relationship.py:24-33):
+              pure relational — filter + split, no UDF.
+- verb      — N5 rule cascade per conversation (applyInPandas).
+- born-in   — N7 hometown regex (Biographee_Info.py:22-28).
+- vital     — N8 born-on / died-on / author triples from stage-0 meta.
+
+Timeline (N6) is a separate table (`timeline`), not a triple channel, as in
+the reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..functions.extraction import KIN_TEMP_TYPE, extract_hometown
+from ..functions.matcher import SurfaceIndex
+from ..functions.relations import extract_relations_for_conv
+from ..functions.timeline import extract_timeline
+
+TRIPLE_COLS = ["conv_id", "subj", "pred", "obj", "source"]
+_TRIPLE_SCHEMA = "conv_id string, subj string, pred string, obj string, source string"
+_TIMELINE_SCHEMA = "conv_id string, year int, event string, start_pos int"
+
+
+def kinship_triples(conv_aliases: DataFrame) -> DataFrame:
+    """J4: (biographee, kinship, person) from packed alias tuples."""
+    packed = conv_aliases.filter(F.col("alias_type") == KIN_TEMP_TYPE)
+    return packed.select(
+        "conv_id",
+        F.split_part(F.col("alias"), F.lit(":"), F.lit(1)).alias("subj"),
+        F.split_part(F.col("alias"), F.lit(":"), F.lit(2)).alias("pred"),
+        F.col("name").alias("obj"),
+        F.lit("kinship").alias("source"),
+    )
+
+
+def verb_triples(turns: DataFrame, meta: DataFrame, index: SurfaceIndex) -> DataFrame:
+    """N5 per conversation. The automaton finds the persons present; their
+    full surface lists (reference: get_all_names_of_people,
+    Relationship.py:53-59) come from the same index payloads."""
+    person_surfaces: dict[str, list[str]] = {}
+    for surface, payloads in zip(index._surfaces, index._payloads):
+        for person, _kind in payloads:
+            person_surfaces.setdefault(person, []).append(surface)
+
+    def _rel(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        ordered = pdf.sort_values("turn_idx")
+        text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
+        bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
+        if not bio_vals:
+            return pd.DataFrame(columns=TRIPLE_COLS)
+        biographee = bio_vals[0]
+        detected = index.distinct_persons_in(text)
+        pairs = [(p, s) for p in detected for s in sorted(set(person_surfaces.get(p, [])))]
+        triples = extract_relations_for_conv(text, biographee, pairs)
+        return pd.DataFrame(
+            [(conv_id, s, p, o, "verb") for (s, p, o) in sorted(set(triples))],
+            columns=TRIPLE_COLS,
+        )
+
+    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
+        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
+    )
+    return enriched.groupBy("conv_id").applyInPandas(_rel, schema=_TRIPLE_SCHEMA)
+
+
+def hometown_triples(turns: DataFrame, meta: DataFrame) -> DataFrame:
+    """N7: first ({place})人[，。] match over the conversation text."""
+
+    def _home(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        ordered = pdf.sort_values("turn_idx")
+        text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
+        bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
+        place = extract_hometown(text)
+        if not bio_vals or place is None:
+            return pd.DataFrame(columns=TRIPLE_COLS)
+        return pd.DataFrame(
+            [(conv_id, bio_vals[0], "born-in", place, "born-in")], columns=TRIPLE_COLS
+        )
+
+    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
+        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
+    )
+    return enriched.groupBy("conv_id").applyInPandas(_home, schema=_TRIPLE_SCHEMA)
+
+
+def vital_triples(meta: DataFrame) -> DataFrame:
+    """N8: born-on / died-on / author triples — pure column expressions."""
+    base = meta.filter(F.col("biographee").isNotNull())
+    born = base.filter(F.col("birth").isNotNull() & (F.col("birth") != "")).select(
+        "conv_id",
+        F.col("biographee").alias("subj"),
+        F.lit("born-on").alias("pred"),
+        F.col("birth").alias("obj"),
+        F.lit("vital").alias("source"),
+    )
+    died = base.filter(F.col("death").isNotNull() & (F.col("death") != "")).select(
+        "conv_id",
+        F.col("biographee").alias("subj"),
+        F.lit("died-on").alias("pred"),
+        F.col("death").alias("obj"),
+        F.lit("vital").alias("source"),
+    )
+    authored = (
+        base.select("conv_id", "biographee", F.explode("authors").alias("author"))
+        .select(
+            "conv_id",
+            F.col("biographee").alias("subj"),
+            F.lit("author").alias("pred"),
+            F.col("author").alias("obj"),
+            F.lit("vital").alias("source"),
+        )
+    )
+    return born.unionByName(died).unionByName(authored)
+
+
+def timeline_table(turns: DataFrame) -> DataFrame:
+    """N6 — (conv_id, year, event, start_pos); A6 last-wins applied by the
+    materialize stage with a window, not here."""
+
+    def _tl(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        ordered = pdf.sort_values("turn_idx")
+        text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
+        rows = [(conv_id, y, e, s) for (y, e, s) in extract_timeline(text)]
+        return pd.DataFrame(rows, columns=["conv_id", "year", "event", "start_pos"])
+
+    return (
+        turns.select("conv_id", "turn_idx", "norm_text")
+        .groupBy("conv_id")
+        .applyInPandas(_tl, schema=_TIMELINE_SCHEMA)
+    )
+
+
+def all_triples(
+    conv_aliases: DataFrame,
+    turns: DataFrame,
+    meta: DataFrame,
+    index: SurfaceIndex,
+) -> DataFrame:
+    return (
+        kinship_triples(conv_aliases)
+        .unionByName(verb_triples(turns, meta, index))
+        .unionByName(hometown_triples(turns, meta))
+        .unionByName(vital_triples(meta))
+    )

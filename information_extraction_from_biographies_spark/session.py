@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness tests on ``local[N]`` while keeping every knob that
+matters on a 1000-executor cluster explicit: AQE (runtime re-planning,
+skew-join splitting, shuffle coalescing), Arrow-batched pandas UDFs, and a
+shuffle-partition count that callers override per data scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (single JVM, 32 threads, 128 GiB). On a
+# real cluster spark-submit overrides master/memory; the SQL confs below are
+# scale-independent policy.
+_SQL_CONF = {
+    # AQE: runtime shuffle coalescing + skew-join splitting. Long
+    # conversations and hub entities make several of our self-joins skewed;
+    # AQE splits oversized post-shuffle partitions without manual salting
+    # for the relational joins (we still salt the iterative CC join, which
+    # AQE cannot see across iterations).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs; bounded batches so a batch of very
+    # long turns cannot blow executor memory.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Broadcast threshold: alias dictionaries / gazetteers are a few MB.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet scans: vectorized reader + pushdown are on by default; keep
+    # file-split size aligned with executor memory at target SF.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "kg-construct",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else all
+    cores). ``shuffle_partitions`` defaults to 2x parallelism — small enough
+    to avoid tiny-task overhead at test scale; AQE coalesces further. At
+    100 TB a cluster deployment would set this to O(input_size / 128MB).
+    """
+    # Make this package importable in Spark's Python workers regardless of
+    # the driver's cwd (local mode: workers inherit the driver JVM's env,
+    # set before getOrCreate). On a real cluster spark-submit ships the
+    # package via --py-files instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = 2 * int(cpus) if cpus and cpus.isdigit() else 32
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in _SQL_CONF.items():
+        builder = builder.config(k, v)
+    # Keep the driver/UI quiet and deterministic in the sandbox.
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

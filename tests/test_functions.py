@@ -1,0 +1,198 @@
+"""Unit tests for the pure-Python kernels (no Spark)."""
+
+import random
+
+from information_extraction_from_biographies_spark.functions.clauses import (
+    relation_lines,
+    split_clauses_with_positions,
+)
+from information_extraction_from_biographies_spark.functions.extraction import (
+    HEART,
+    extract_title,
+    get_kin_name,
+    prepend_family_name,
+    process_and_filter_names,
+    surname_of,
+)
+from information_extraction_from_biographies_spark.functions.matcher import AhoCorasick, SurfaceIndex
+from information_extraction_from_biographies_spark.functions.relations import (
+    build_dep_dict,
+    filter_relations,
+    relation_cascade,
+)
+from information_extraction_from_biographies_spark.functions.timeline import extract_timeline
+
+
+# ---------------------------------------------------------------- matcher
+def test_aho_corasick_equals_naive_find():
+    rng = random.Random(3)
+    alphabet = "陳林黃泗治平安王字號大明"
+    patterns = list({"".join(rng.choices(alphabet, k=rng.randint(1, 4))) for _ in range(30)})
+    ac = AhoCorasick(patterns)
+    for _ in range(50):
+        text = "".join(rng.choices(alphabet, k=rng.randint(0, 60)))
+        expected = {i for i, p in enumerate(ac.patterns) if p in text}
+        assert ac.contained(text) == expected
+
+
+def test_surface_index_shared_surface_maps_to_all_persons():
+    idx = SurfaceIndex([("石泉", "陳一", "號"), ("石泉", "林二", "字"), ("陳一", "陳一", "name")])
+    hits = idx.persons_in("先生號石泉。")
+    assert ("陳一", "石泉", "號") in hits and ("林二", "石泉", "字") in hits
+    assert idx.distinct_persons_in("先生號石泉。") == ["林二", "陳一"]
+
+
+# ---------------------------------------------------------------- clauses
+def test_clause_split_increments_and_trailing_drop():
+    # ，→ +1, 。→ +2, 。\n\n → +3; trailing clause after the last matched
+    # delimiter is dropped (Cooccurrence.py:51-53).
+    text = "甲，乙。丙。\n\n丁，戊尾巴"
+    got = split_clauses_with_positions(text)
+    assert got == [("甲", 1), ("乙", 2), ("丙", 4), ("丁", 7)]
+    # '戊尾巴' (after the last ，) never gets a position.
+
+
+def test_clause_split_paragraph_delimiter_backtrack():
+    # 。 before \n\n must match the 。\n\n alternative (increment 3),
+    # not plain 。 (the trailing \w forces the backtrack).
+    got = split_clauses_with_positions("甲。\n\n乙，丙")
+    assert got == [("甲", 1), ("乙", 4)]
+
+
+def test_relation_lines_strip_parens():
+    lines = relation_lines("王一，與陳二（Peter）合作。\n\n王一再會", "陳二")
+    assert lines == ["與陳二合作"]
+
+
+# ------------------------------------------------------------- extraction
+def test_title_dead_branch_keeps_trailing_comma():
+    info = extract_title("陳泗治（Tan Su-tin，1911.04.14-1992.09.23），士林人。")
+    assert info.biographee == "陳泗治"
+    assert info.english_name == "Tan Su-tin，"  # trailing ，(Preprocess.py:163-171)
+    assert info.birth == "1911.04.14"
+    assert info.death == "1992.09.23"
+    assert info.norm_text == "，士林人。"
+
+
+def test_title_without_english():
+    info = extract_title("陳泗治（1911-1992），士林人。")
+    assert info.english_name is None
+    assert info.birth == "1911"
+
+
+def test_author_extraction_and_removal():
+    info = extract_title("陳泗治（1911-1992）（王甲、李乙撰），士林人。")
+    assert info.authors == ["王甲", "李乙"]
+    assert info.norm_text == "，士林人。"
+
+
+def test_get_kin_name_requires_punct_and_surname():
+    names, tuples = get_kin_name("父親|父", "他日。父陳大山是商人。", "父")
+    assert names == {"陳大山"}
+    assert ("陳大山", "父", None) in tuples
+    # no legal surname → rejected (unless 兒子/女兒)
+    names2, _ = get_kin_name("父親|父", "他日。父毅大山是商人。", "父")
+    assert names2 == set()
+
+
+def test_heart_marker_and_prepend_with_original_form():
+    # 💗 child keeps own name (no prepend); plain child gets family name +
+    # an 原形 alias (NER.py:415-447)
+    res = prepend_family_name({HEART + "羅賓", "小寶"}, "孫")
+    assert res == {"羅賓", "孫小寶"}
+    tuples = prepend_family_name({(HEART + "羅賓", "兒子", None), ("小寶", "兒子", None)}, "孫")
+    assert ("羅賓", "兒子", None) in tuples
+    assert ("孫小寶", "兒子", None) in tuples
+    assert ("孫小寶", "原形", "小寶") in tuples
+
+
+def test_filter_names_substring_dominance_and_rules():
+    names = {
+        "陳泗治",  # ok
+        "陳泗",  # substring of 陳泗治 → dropped
+        "臺北",  # place name → dropped
+        "福建人",  # place+人 → dropped
+        "某某寺",  # ends 寺 → dropped
+        "X陳一",  # ascii start → dropped
+        "治平",  # no surname → dropped
+        "圓光法師",  # monk suffix → kept without surname
+    }
+    assert process_and_filter_names(names) == {"陳泗治", "圓光法師"}
+
+
+def test_surname_longest_match():
+    assert surname_of("歐陽修文") == "歐陽"
+    assert surname_of("陳大明") == "陳"
+    assert surname_of("治平") is None
+
+
+# ---------------------------------------------------------------- cascade
+def test_cascade_bei_agent():
+    d = build_dep_dict("被王小明殺害", ["王小明"])
+    out = relation_cascade(d, "王世慶", "王小明")
+    assert out == ["王小明 殺害 王世慶"]
+
+
+def test_cascade_verb_dobj():
+    d = build_dep_dict("與史威廉合作發表論文", ["史威廉"])
+    out = relation_cascade(d, "王世慶", "史威廉")
+    assert "王世慶 合作 史威廉" in out
+    assert "王世慶 發表論文 史威廉" in out
+
+
+def test_cascade_copula_rule_i():
+    d = build_dep_dict("恩師為林大同", ["林大同"])
+    assert relation_cascade(d, "王世慶", "林大同") == ["王世慶 恩師 林大同"]
+
+
+def test_cascade_nmod_assmod():
+    d = build_dep_dict("因田武雅的推薦", ["田武雅"])
+    assert relation_cascade(d, "王世慶", "田武雅") == ["田武雅 推薦 王世慶"]
+
+
+def test_cascade_sentinel_dropped_by_filter():
+    d = build_dep_dict("字伯禹", ["伯禹"])
+    out = relation_cascade(d, "王世慶", "伯禹")
+    assert out == "there has no relationships"
+    # the sentinel extends char-wise then every 1-char token fails the
+    # 3-token filter (Relationship.py:145,46,170-171)
+    assert filter_relations(list(out)) == []
+
+
+def test_filter_relations_kinship_and_self():
+    rels = ["甲 娶 乙", "甲 合作 甲", "甲 合作 乙", "甲 太 多 tokens"]
+    assert filter_relations(rels) == [("甲", "合作", "乙")]
+
+
+# --------------------------------------------------------------- timeline
+def test_timeline_extraction_and_quirks():
+    text = "大正10年（1921），任職臺北書局。民國40年（1951），當選會長。"
+    rows = extract_timeline(text)
+    assert (1921, "任職臺北書局", 0) in rows
+    years = {y for y, _, _ in rows}
+    assert years == {1921, 1951}
+
+
+def test_timeline_requires_western_year():
+    assert extract_timeline("大正10年，任職臺北書局。") == []
+
+
+def test_timeline_last_wins_candidates_emitted_with_positions():
+    text = "民國40年（1951），任職甲。民國40年（1951），任職乙。"
+    rows = extract_timeline(text)
+    assert len(rows) == 2
+    assert rows[0][2] < rows[1][2]  # start positions ordered
+
+
+# ------------------------------------------------ A2 closed-form weights
+def test_depreciation_weight_sequence():
+    # reference fold: 1, 0.65, 0.65^2, 0.65^4, 0.65^8 (Cooccurrence.py:103-109)
+    from information_extraction_from_biographies_spark.gazetteers import DEPRECIATE_FACTOR
+
+    weights = [1.0]
+    depre = DEPRECIATE_FACTOR
+    for _ in range(4):
+        weights.append(depre)
+        depre **= 2
+    closed = [1.0] + [DEPRECIATE_FACTOR ** (2 ** (k - 2)) for k in range(2, 6)]
+    assert weights == closed

@@ -1,0 +1,95 @@
+"""Kill-resume: restart after a mid-pipeline failure recomputes nothing
+before the failure point, and lineage row counts reconcile (north rule)."""
+
+import pytest
+
+from information_extraction_from_biographies_spark import fixtures as fx
+from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+
+def test_kill_resume(spark, tmp_path):
+    f = fx.make_fixture(n_convs=4)
+    tdf = fx.transcripts_sdf(spark, f)
+    wh = str(tmp_path / "wh")
+    pipe = Pipeline(spark, wh, snapshot_id="r1")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run(tdf, fail_after="stage2_triples")
+
+    # committed through stage2_triples
+    for t in ["stage0_turns", "stage1_people", "stage2_triples"]:
+        assert pipe.store.is_committed(t, "r1"), t
+    assert not pipe.store.is_committed("cooccurrence", "r1")
+
+    # resume: everything up to the failure point is skipped, the rest runs
+    res = pipe.run(tdf, resume=True)
+    assert "stage2_triples" in res.skipped_stages
+    assert "stage0_turns" in res.skipped_stages
+    assert "cooccurrence" in res.executed_stages
+
+    # lineage reconciles per table
+    for t in ["stage2_triples", "cooccurrence"]:
+        lineage = pipe.store.lineage(t, "r1")
+        actual = pipe.store.read(t, "r1").count()
+        assert lineage["total_rows"] == actual
+        assert sum(p["row_count"] for p in lineage["partitions"]) == actual
+
+    # and results are complete
+    assert res.tables["triples"].count() > 0
+    assert res.tables["cooccurrence"].count() > 0
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property check: CC min-label propagation ≡ a driver-side union-find
+    on a pseudo-random graph (fixed seed)."""
+    import random
+
+    from information_extraction_from_biographies_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    rng = random.Random(5)
+    n = 120
+    edges = [(f"v{rng.randrange(n)}", f"v{rng.randrange(n)}") for _ in range(90)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    expected = {}
+    for a, b in edges:
+        for v in (a, b):
+            expected.setdefault(find(v), set()).add(v)
+    want = sorted([frozenset(s) for s in expected.values()], key=sorted)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = connected_components(df)
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r.component, set()).add(r.vertex)
+    got = sorted([frozenset(s) for s in groups.values()], key=sorted)
+    assert got == want
+
+
+def test_connected_components_salted_equals_unsalted(spark):
+    from information_extraction_from_biographies_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = [("hub", f"n{i}") for i in range(40)] + [("n0", "x"), ("y", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {(r.vertex, r.component) for r in connected_components(df).collect()}
+    salted = {(r.vertex, r.component) for r in connected_components(df, salt=8).collect()}
+    assert plain == salted

@@ -1,38 +1,669 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``          — flagship: KG triple extraction (smoke).
+- ``queries()``             — one entry per implemented operator
+                              (SURVEY.md §2 + training-data extras).
+- ``oracle_sql()``          — DuckDB-equivalent SQL for every
+                              SQL-expressible query; NLP/KG extractors and
+                              binary-media ops are rows-only by design.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded on both sides so the value-hash is stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F  # noqa: N812
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the 4-stage KG pipeline over transcripts synthesized
+    deterministically (BASELINE.json input_hint), plus a pass of the same
+    stage-0/1 plumbing over sf0.001 documents rendered as transcripts."""
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.operators import mentions, normalize, scan, triples
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    doc_transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(Window.partitionBy("source").orderBy("doc_id")) - 1).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    tdf = fx.transcripts_sdf(spark, n_convs=6).unionByName(doc_transcripts)
+
+    turns, meta = normalize.normalize(tdf)
+    conv_names, conv_aliases = mentions.extract_people(turns, meta)
+    people, aliases = mentions.build_registry(conv_names, conv_aliases)
+    index = scan.build_surface_index(mentions.registry_surfaces(people, aliases))
+    return triples.all_triples(conv_aliases, turns, meta, index)
+
+
+# ------------------------------------------------------------- kg (rows-only)
+def _kg_tables(spark: SparkSession):
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.operators import mentions, normalize, scan
+
+    tdf = fx.transcripts_sdf(spark, n_convs=6)
+    turns, meta = normalize.normalize(tdf)
+    conv_names, conv_aliases = mentions.extract_people(turns, meta)
+    people, aliases = mentions.build_registry(conv_names, conv_aliases)
+    index = scan.build_surface_index(mentions.registry_surfaces(people, aliases))
+    return turns, meta, conv_aliases, people, aliases, index
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_from_biographies_spark.operators import triples
+
+    turns, meta, conv_aliases, _p, _a, index = _kg_tables(spark)
+    return triples.all_triples(conv_aliases, turns, meta, index).select(
+        "conv_id", "subj", "pred", "obj", "source"
+    )
+
+
+def _kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_from_biographies_spark.operators import cooccurrence, scan
+
+    turns, meta, _ca, _p, _a, index = _kg_tables(spark)
+    rows = scan.scan_mentions(turns, index)
+    return cooccurrence.cooccurrence_scores(
+        scan.occurrences(rows), scan.persons_in_conv(rows), meta
+    ).select("conv_id", "name1", "name2", F.round("score", 6).alias("score"))
+
+
+def _kg_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_from_biographies_spark.operators import graph, triples
+
+    turns, *_ = _kg_tables(spark)
+    return graph.timeline_final(triples.timeline_table(turns))
+
+
+def _kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_from_biographies_spark.operators import canonicalize
+
+    _t_, _m, _ca, people, aliases, _i = _kg_tables(spark)
+    return canonicalize.entity_table(people, aliases)
+
+
+def _kg_biographee_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_from_biographies_spark.operators import biographee, triples as tr
+
+    turns, meta, _ca, _p, _a, _i = _kg_tables(spark)
+    home = tr.hometown_triples(turns, meta)
+    return biographee.query_biographees(meta, home, "出生 >= 1882")
+
+
+# ------------------------------------------------------ relational (oracled)
+def _w2_toc_endpage(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_date"),
+    )
+
+
+def _w1_running_position(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    inc = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(3)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.coalesce(F.sum(inc).over(w), F.lit(0)) + 1).cast("long").alias("pos"),
+    )
+
+
+def _w3_running_category(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cat = F.when(F.col("event_type") == "signup", F.col("props"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select("event_id", "user_id", F.last(cat, ignorenulls=True).over(w).alias("category"))
+
+
+def _a2_depreciating_scores(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_quantity", "l_linenumber")
+    ranked = li.withColumn("k", F.row_number().over(w))
+    weight = F.when(F.col("k") == 1, F.lit(1.0)).otherwise(
+        F.pow(F.lit(0.65), F.pow(F.lit(2.0), F.col("k") - 2))
+    )
+    return (
+        ranked.withColumn("contrib", F.lit(4.0) / F.col("l_quantity") * weight)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+
+
+def _a3_pair_distances(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a = li.select(
+        "l_orderkey", F.col("l_linenumber").alias("ln1"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_linenumber").alias("ln2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ln1") < F.col("ln2"))
+        .select(
+            "l_orderkey",
+            F.least("p1", "p2").alias("part1"),
+            F.greatest("p1", "p2").alias("part2"),
+            (F.col("ln2") - F.col("ln1") + 1).cast("long").alias("distance"),
+        )
+    )
+
+
+def _a6_last_wins(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.year("ts").alias("yr"))
+        .agg(F.max_by("event_type", "event_id").alias("last_event"))
+    )
+
+
+def _a5_ordered_concat(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ",",
+        ).alias("type_seq")
+    )
+
+
+def _f9_componentwise_date(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.biographee import (
+        componentwise_date_predicate,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "dotted", F.date_format("o_orderdate", "yyyy.MM.dd")
+    )
+    return o.filter(componentwise_date_predicate(F.col("dotted"), ">=", 1998, 6, None)).select(
+        "o_orderkey", "dotted"
+    )
+
+
+def _j1_contains_join(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = spark.createDataFrame([("spark",), ("join",), ("window",), ("hash",), ("stream",)], "word string")
+    return docs.join(F.broadcast(words), F.col("text").contains(F.col("word"))).select(
+        "doc_id", "word"
+    )
+
+
+def _f5_substring_dominance(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    p1 = p.select("p_brand", "p_name")
+    p2 = p.select(F.col("p_brand").alias("b2"), F.col("p_name").alias("n2"))
+    cond = (
+        (F.col("p_brand") == F.col("b2"))
+        & (F.col("p_name") != F.col("n2"))
+        & F.col("n2").contains(F.col("p_name"))
+    )
+    return p1.join(p2, cond, "left_anti")
+
+
+def _u4_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _j3_suppliers_in_region(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nk = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+    return s.join(F.broadcast(nk), s.s_nationkey == nk.n_nationkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def _w5_topk_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+def _a7_last_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(F.max_by("o_orderstatus", "o_orderkey").alias("last_status"))
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_nation_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def _broadcast_brand_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
+    )
+
+
+# ----------------------------------------------- training-data operators
+def _dedup_exact(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=5)
+    sig = dedup.minhash_signatures(sh, num_hashes=32)
+    cand = dedup.lsh_candidate_pairs(sig, bands=8)
+    return dedup.ngram_jaccard_pairs(sh, cand, threshold=0.5).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _dedup_simhash(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(sim, max_hamming=6)
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, q, k=5).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, q, dim=64, k=5, bits=6).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _text_quality(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _text_lang_scores(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.textstats import language_scores
+
+    return language_scores(_t(spark, sf_dir, "documents"))
+
+
+def _text_token_count(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def _text_fingerprint(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _cc_components(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    edges = li.select(
+        (F.col("l_partkey") % 300).alias("src"), (F.col("l_suppkey") % 300).alias("dst")
+    )
+    return connected_components(edges).select(
+        F.col("vertex").cast("long").alias("vertex"), F.col("component").cast("long").alias("component")
+    )
+
+
+def _mm_image_features(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.synth_media(spark, n=48))
+
+
+def _mm_frame_sample(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators import multimodal as mm
+
+    return mm.frame_sample(mm.synth_media(spark, n=48))
+
+
+def _mm_audio_features(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators import multimodal as mm
+
+    return mm.audio_features(mm.synth_media(spark, n=48)).select(
+        "media_id", F.round("rms", 6).alias("rms"), "n_samples"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG pipeline (rows-only: NLP extraction is not SQL-expressible)
+        "kg_triples": _kg_triples,
+        "kg_cooccurrence": _kg_cooccurrence,
+        "kg_timeline": _kg_timeline,
+        "kg_entities": _kg_entities,
+        "kg_biographee_query": _kg_biographee_query,
+        # relational skeletons of SURVEY §2 operators (DuckDB-oracled)
+        "w2_toc_endpage": _w2_toc_endpage,
+        "w1_running_position": _w1_running_position,
+        "w3_running_category": _w3_running_category,
+        "a2_depreciating_scores": _a2_depreciating_scores,
+        "a3_pair_distances": _a3_pair_distances,
+        "a6_last_wins": _a6_last_wins,
+        "a5_ordered_concat": _a5_ordered_concat,
+        "f9_componentwise_date": _f9_componentwise_date,
+        "j1_contains_join": _j1_contains_join,
+        "f5_substring_dominance": _f5_substring_dominance,
+        "u4_customers_without_orders": _u4_customers_without_orders,
+        "j3_suppliers_in_region": _j3_suppliers_in_region,
+        "w5_topk_per_group": _w5_topk_per_group,
+        "a7_last_status": _a7_last_status,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_revenue": _q3_top_revenue,
+        "q5_nation_volume": _q5_nation_volume,
+        "broadcast_brand_agg": _broadcast_brand_agg,
+        "cc_components": _cc_components,
+        # training-data pipeline extras
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "text_quality": _text_quality,
+        "text_lang_scores": _text_lang_scores,
+        "text_token_count": _text_token_count,
+        "text_fingerprint": _text_fingerprint,
+        # multimodal plumbing (binary columns; rows-only)
+        "mm_image_features": _mm_image_features,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_audio_features": _mm_audio_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _stopword_count_sql(words: list[str]) -> str:
+    terms = [
+        f"(len(string_split_regex(' ' || lower(text) || ' ', '\\s{w}\\s')) - 1)" for w in words
+    ]
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ["the", "and", "of", "to", "in", "is", "that", "with"]
+    de = ["der", "die", "und", "das", "nicht", "ein", "mit"]
+    fr = ["le", "la", "les", "et", "des", "une", "dans"]
+    es = ["el", "los", "las", "una", "por", "con", "para"]
+    return {
+        "w2_toc_endpage": """
+            SELECT o_orderkey, o_custkey,
+                   strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS next_date
+            FROM orders
+        """,
+        "w1_running_position": """
+            SELECT event_id, user_id,
+                   CAST(1 + coalesce(sum(CASE event_type WHEN 'click' THEN 1
+                                                          WHEN 'view' THEN 2
+                                                          ELSE 3 END)
+                        OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos
+            FROM events
+        """,
+        "w3_running_category": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'signup' THEN props END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY event_id) AS category
+            FROM events
+        """,
+        "a2_depreciating_scores": """
+            WITH ranked AS (
+              SELECT l_orderkey, l_quantity,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_quantity, l_linenumber) AS k
+              FROM lineitem)
+            SELECT l_orderkey,
+                   round(sum(4.0 / l_quantity *
+                             CASE WHEN k = 1 THEN 1.0
+                                  ELSE power(0.65, power(2.0, k - 2)) END), 4) AS score
+            FROM ranked GROUP BY l_orderkey
+        """,
+        "a3_pair_distances": """
+            SELECT a.l_orderkey,
+                   least(a.l_partkey, b.l_partkey) AS part1,
+                   greatest(a.l_partkey, b.l_partkey) AS part2,
+                   CAST(b.l_linenumber - a.l_linenumber + 1 AS BIGINT) AS distance
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        """,
+        "a6_last_wins": """
+            SELECT user_id, CAST(year(ts) AS INT) AS yr,
+                   max_by(event_type, event_id) AS last_event
+            FROM events GROUP BY user_id, year(ts)
+        """,
+        "a5_ordered_concat": """
+            SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS type_seq
+            FROM events GROUP BY user_id
+        """,
+        "f9_componentwise_date": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y.%m.%d') AS dotted
+            FROM orders
+            WHERE CASE WHEN year(o_orderdate) != 1998 THEN year(o_orderdate) >= 1998
+                       WHEN month(o_orderdate) != 6 THEN month(o_orderdate) >= 6
+                       ELSE TRUE END
+        """,
+        "j1_contains_join": """
+            SELECT doc_id, word
+            FROM documents, (VALUES ('spark'), ('join'), ('window'), ('hash'), ('stream')) AS w(word)
+            WHERE contains(text, word)
+        """,
+        "f5_substring_dominance": """
+            SELECT p_brand, p_name FROM part p1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part p2
+              WHERE p2.p_brand = p1.p_brand AND p2.p_name <> p1.p_name
+                AND contains(p2.p_name, p1.p_name))
+        """,
+        "u4_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """,
+        "j3_suppliers_in_region": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_nationkey IN (
+              SELECT n_nationkey FROM nation
+              WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+        """,
+        "w5_topk_per_group": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_suppkey
+                                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+              FROM lineitem) WHERE rk <= 3
+        """,
+        "a7_last_status": """
+            SELECT o_custkey, max_by(o_orderstatus, o_orderkey) AS last_status
+            FROM orders GROUP BY o_custkey
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_nation_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "broadcast_brand_agg": """
+            SELECT p_brand, round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "cc_components": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT CAST(l_partkey % 300 AS BIGINT) AS src,
+                     CAST(l_suppkey % 300 AS BIGINT) AS dst
+              FROM lineitem WHERE l_orderkey <= 2000),
+            sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            walk(v, r) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT w.v, s.dst FROM walk w JOIN sym s ON w.r = s.src)
+            SELECT v AS vertex, least(v, min(r)) AS component FROM walk GROUP BY v
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+              FROM embeddings e, q)
+            SELECT query_id, vec_id, round(c, 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                         / greatest(length(text), 1), 6) AS upper_ratio,
+                   round(({_stopword_count_sql(en)})
+                         / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio,
+                   round(length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+                         AS mean_token_len
+            FROM documents
+        """,
+        "text_lang_scores": f"""
+            SELECT doc_id,
+                   {_stopword_count_sql(en)} AS score_en,
+                   {_stopword_count_sql(de)} AS score_de,
+                   {_stopword_count_sql(fr)} AS score_fr,
+                   {_stopword_count_sql(es)} AS score_es
+            FROM documents
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+            FROM documents
+        """,
+    }

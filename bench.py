@@ -1,0 +1,144 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the full 4-stage KG pipeline over a scaled
+deterministic transcript table (generated distributed via mapInPandas —
+the same mechanism that generates 10^9 rows on a cluster); its throughput
+in triples/sec is reported alongside the per-query walls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from information_extraction_from_biographies_spark import fixtures as fx
+from information_extraction_from_biographies_spark.operators import (
+    canonicalize,
+    cooccurrence,
+    mentions,
+    normalize,
+    scan,
+    triples,
+)
+from information_extraction_from_biographies_spark.session import get_spark
+
+# Relational / training-data headliners run from the driver contract at sf dir.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_nation_volume",
+    "broadcast_brand_agg",
+    "a2_depreciating_scores",
+    "a3_pair_distances",
+    "w1_running_position",
+    "w5_topk_per_group",
+    "cc_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_token_count",
+]
+
+
+def materialize_transcripts(spark, n_convs: int, path: str | None = None) -> str:
+    """Write the deterministic scaled transcript table to parquet once
+    (untimed input synthesis — the pipeline reads it back like any table)."""
+    path = path or f"/tmp/kg_bench_transcripts_{n_convs}"
+    if not os.path.isdir(path):
+        fx.make_scaled_transcripts(spark, n_convs=n_convs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def kg_pipeline_run(spark, n_convs: int, transcripts_path: str | None = None):
+    """End-to-end KG extraction (stages 0-4, no checkpoint I/O) over the
+    scaled transcript table; returns (wall_s, n_triples, n_turns, ...)."""
+    tdf = spark.read.parquet(materialize_transcripts(spark, n_convs, transcripts_path))
+    t0 = time.monotonic()
+    turns, meta = normalize.normalize(tdf)
+    turns = turns.persist()
+    meta = meta.persist()
+    extracted = mentions.extract_people_combined(turns, meta).persist()
+    conv_names, conv_aliases = mentions.split_extracted(extracted)
+    people, aliases = mentions.build_registry(conv_names, conv_aliases)
+    people = people.persist()
+    aliases = aliases.persist()
+    index = scan.build_surface_index(mentions.registry_surfaces(people, aliases))
+    triple_rows = triples.all_triples(conv_aliases, turns, meta, index)
+    mention_rows = scan.scan_mentions(turns, index).persist()
+    cooc = cooccurrence.cooccurrence_scores(
+        scan.occurrences(mention_rows), scan.persons_in_conv(mention_rows), meta
+    )
+    entities = canonicalize.entity_table(people, aliases)
+    n_triples = triple_rows.count()
+    n_cooc = cooc.count()
+    n_entities = entities.count()
+    wall = time.monotonic() - t0
+    n_turns = turns.count()
+    for df in (turns, meta, extracted, people, aliases, mention_rows):
+        df.unpersist()
+    return wall, n_triples, n_turns, n_cooc, n_entities
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "4000"))
+    spark = get_spark(
+        app_name="kg-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+
+    queries: dict[str, float] = {}
+
+    # flagship: KG pipeline throughput
+    wall, n_triples, n_turns, n_cooc, n_entities = kg_pipeline_run(spark, n_convs)
+    queries["kg_pipeline"] = round(wall, 3)
+    triples_per_sec = n_triples / wall if wall > 0 else 0.0
+
+    qdict = entry.queries()
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qdict[name](spark, sf_dir)
+        n = df.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+        del n
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "kg": {
+                    "n_convs": n_convs,
+                    "n_turns": n_turns,
+                    "n_triples": n_triples,
+                    "n_cooccurrence": n_cooc,
+                    "n_entities": n_entities,
+                    "triples_per_sec": round(triples_per_sec, 2),
+                    "turns_per_sec": round(n_turns / wall, 2) if wall > 0 else 0.0,
+                    "cores": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

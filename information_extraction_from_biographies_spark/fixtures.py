@@ -88,8 +88,9 @@ class Fixture:
 
 
 class _NamePool:
-    def __init__(self) -> None:
-        self._givens = iter(GIVEN_NAMES)
+    def __init__(self, offset: int = 0) -> None:
+        rotated = GIVEN_NAMES[offset % len(GIVEN_NAMES):] + GIVEN_NAMES[: offset % len(GIVEN_NAMES)]
+        self._givens = iter(rotated)
         self.used: set[str] = set()
 
     def given(self) -> str:
@@ -107,13 +108,31 @@ class _NamePool:
         return name
 
 
-def make_fixture(n_convs: int = 20, seed: int = 7, alias_salt: str = "") -> Fixture:
+def make_fixture(
+    n_convs: int = 20,
+    seed: int = 7,
+    alias_salt: str = "",
+    given_offset: int = 0,
+    rich_aliases: bool = True,
+) -> Fixture:
     """``alias_salt`` suffixes every 字/號 alias — the scaled generator uses
     it to keep alias surfaces unique across independently-generated convs
-    (otherwise the 24-style pool becomes an artificial global hub)."""
+    (otherwise the 24-style pool becomes an artificial global hub).
+
+    ``given_offset`` rotates the given-name pool so independently generated
+    single-conv fixtures (the scaled generator) don't all draw the same
+    given names — without it every conv shares every given name and the
+    global registry degenerates into all-hub surfaces.
+
+    ``rich_aliases=False`` renders children with full names (no bare-given
+    原形 aliases): the scaled generator uses it because a 2-char bare given
+    registered as an alias is a substring of every full name built from the
+    same given, which at thousands of convs makes every mention ~500-way
+    ambiguous — a generator artifact, not a property of the reference
+    corpus (317 mostly-distinct names)."""
     if n_convs > len(STYLE_NAMES) and not alias_salt:
         raise ValueError("n_convs > style pool would alias-merge unrelated convs")
-    pool = _NamePool()
+    pool = _NamePool(offset=given_offset)
     # biographee surnames rotate with an offset derived from the seed so
     # different seeds give different (still deterministic) entity sets.
     bios = [pool.full(seed + 3 * i) for i in range(n_convs)]
@@ -183,7 +202,10 @@ def make_fixture(n_convs: int = 20, seed: int = 7, alias_salt: str = "") -> Fixt
             f"民國{n2}年（{y2}），創辦{org2}。被{o2}推薦擔任校長，"
             f"因{o3}的推薦，恩師為{o4}。民國{n3}年（{y3}），當選會長。"
         )
-        t3 = f"{bio}，娶{spouse}為妻，育有2子，{c1_g}、{c2_g}。長女{c3_g}，晚年定居{place2}。"
+        if rich_aliases:
+            t3 = f"{bio}，娶{spouse}為妻，育有2子，{c1_g}、{c2_g}。長女{c3_g}，晚年定居{place2}。"
+        else:
+            t3 = f"{bio}，娶{spouse}為妻，育有2子，{c1}、{c2}。長女{c3}，晚年定居{place2}。"
 
         for turn_idx, text in enumerate([t0, t1, t2, t3]):
             rows.append(
@@ -202,9 +224,14 @@ def make_fixture(n_convs: int = 20, seed: int = 7, alias_salt: str = "") -> Fixt
             _reg(p)
         if grandpa:
             _reg(grandpa)
-        _reg(c1, c1_g)
-        _reg(c2, c2_g)
-        _reg(c3, c3_g)
+        if rich_aliases:
+            _reg(c1, c1_g)
+            _reg(c2, c2_g)
+            _reg(c3, c3_g)
+        else:
+            _reg(c1)
+            _reg(c2)
+            _reg(c3)
 
         truths.append(
             ConvTruth(
@@ -216,7 +243,9 @@ def make_fixture(n_convs: int = 20, seed: int = 7, alias_salt: str = "") -> Fixt
                 hometown=place,
                 authors=authors,
                 style_aliases=[("字", a1), ("號", a2)],
-                original_form_aliases=[(c1, c1_g), (c2, c2_g), (c3, c3_g)],
+                original_form_aliases=(
+                    [(c1, c1_g), (c2, c2_g), (c3, c3_g)] if rich_aliases else []
+                ),
                 kin=[("父", father), ("母", mother), ("兄", brother), ("妻", spouse)]
                 + ([("祖父", grandpa)] if grandpa else [])
                 + [("兒子", c1), ("兒子", c2), ("女兒", c3)],
@@ -298,7 +327,11 @@ def make_scaled_transcripts(spark, n_convs: int = 2000, seed: int = 11, skew: bo
             out = []
             for ordinal in pdf["id"]:
                 fx = make_fixture(
-                    n_convs=1, seed=seed + int(ordinal) % 997, alias_salt=f"之{int(ordinal)}"
+                    n_convs=1,
+                    seed=seed + int(ordinal) % 997,
+                    alias_salt=f"之{int(ordinal)}",
+                    given_offset=(int(ordinal) * 131) % len(GIVEN_NAMES),
+                    rich_aliases=False,
                 )
                 t = fx.transcripts.copy()
                 t["conv_id"] = t["conv_id"] + f"#{int(ordinal)}"

@@ -40,11 +40,20 @@ from ..gazetteers import (
 HEART = "💗"  # no-family-name-prepend marker (NER.py:247-250)
 KIN_TEMP_TYPE = "親屬關係暫存"  # packed (biographee, kinship) alias type (NER.py:172)
 
-# Sorted longest-first so prefix probes are longest-match deterministic
-# (the reference iterates an unordered set — NER.py:261-265; ambiguity never
-# arises in its data, longest-match is the deterministic resolution).
-_SURNAMES_BY_LEN = sorted(SURNAMES, key=len, reverse=True)
-_NAME_SURNAMES_BY_LEN = sorted(NAME_SURNAMES, key=len, reverse=True)
+# Longest-match deterministic prefix probes (the reference iterates an
+# unordered set — NER.py:261-265; ambiguity never arises in its data,
+# longest-match is the deterministic resolution). Probing a 7,507-surname
+# list per candidate is O(|surnames|); bucketing by length makes it O(max
+# surname length) set lookups — the stage-1/2 hot path.
+def _by_len_sets(words) -> list[tuple[int, frozenset]]:
+    buckets: dict[int, set] = {}
+    for w in words:
+        buckets.setdefault(len(w), set()).add(w)
+    return [(ln, frozenset(ws)) for ln, ws in sorted(buckets.items(), reverse=True)]
+
+
+_SURNAME_SETS = _by_len_sets(SURNAMES)
+_NAME_SURNAME_SETS = _by_len_sets(NAME_SURNAMES)
 
 _AUTHOR_RE = re.compile(r"（([\w、]+)撰寫?）")
 _TITLE_HEAD_RE = re.compile(r"^([^（]{1,8})（")
@@ -54,9 +63,9 @@ _KIN_STOP = r"[是。為，（在、務\(\<\:]"
 
 def surname_of(name: str) -> str | None:
     """Longest surname prefix, else None (NER.py:261-265)."""
-    for s in _SURNAMES_BY_LEN:
-        if name.startswith(s):
-            return s
+    for ln, ws in _SURNAME_SETS:
+        if name[:ln] in ws:
+            return name[:ln]
     return None
 
 
@@ -321,10 +330,10 @@ def rule_ner_names(text: str) -> set:
     for m in _TRIGGER_RE.finditer(text):
         start = m.end()
         rest = text[start : start + 6]
-        for s in _SURNAMES_BY_LEN:
-            if rest.startswith(s):
-                cand = rest[: len(s) + 2]
-                if len(cand) == len(s) + 2 and re.fullmatch(r"\w+", cand):
+        for ln, ws in _SURNAME_SETS:
+            if rest[:ln] in ws:
+                cand = rest[: ln + 2]
+                if len(cand) == ln + 2 and re.fullmatch(r"\w+", cand):
                     names.add(cand)
                 break
     return names
@@ -344,8 +353,8 @@ def process_and_filter_names(names: set) -> set:
             and name not in PLACE_NAMES
             and not (name[-1] == "人" and name[:-1] in PLACE_NAMES)
         ):
-            for s in _NAME_SURNAMES_BY_LEN:
-                if name.startswith(s):
+            for ln, ws in _NAME_SURNAME_SETS:
+                if name[:ln] in ws:
                     first.add(name)
                     break
             for monk in MONK_SUFFIXES:
@@ -386,14 +395,24 @@ def get_other_names(text: str, biographee: str) -> set:
 
 
 # ---------------------------------------------------------------- N7 -----
-_PLACES_ALTERNATION = "|".join(PLACE_NAMES)
-_HOMETOWN_RE = re.compile(r"({})人(，|。)".format(_PLACES_ALTERNATION))
+# The reference compiles one ({place1|place2|...})人[，。] alternation over
+# 2,737 places (Biographee_Info.py:14,24) — O(|places|) per text position in
+# Python's re. Equivalent and O(max place length): scan 人[，。] anchors in
+# order and set-probe the preceding substring longest-first (= the regex's
+# earliest-start preference among places ending at the same 人).
+_PLACE_SET = frozenset(PLACE_NAMES)
+_PLACE_MAXLEN = max(len(p) for p in PLACE_NAMES)
+_HOMETOWN_ANCHOR_RE = re.compile(r"人[，。]")
 
 
 def extract_hometown(text: str) -> str | None:
     """First ({place})人[，。] match (Biographee_Info.py:22-28)."""
-    m = _HOMETOWN_RE.search(text)
-    return m.group(1) if m is not None else None
+    for m in _HOMETOWN_ANCHOR_RE.finditer(text):
+        end = m.start()
+        for ln in range(min(_PLACE_MAXLEN, end), 0, -1):
+            if text[end - ln : end] in _PLACE_SET:
+                return text[end - ln : end]
+    return None
 
 
 # --------------------------------------------------------------- glue ----

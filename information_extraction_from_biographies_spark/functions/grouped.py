@@ -1,0 +1,87 @@
+"""Per-conversation group execution without per-group Arrow overhead.
+
+``groupBy(conv_id).applyInPandas`` pays one Arrow record-batch round trip
+PER GROUP (~5-15 ms each): at millions of small conversations that
+overhead, not the extraction kernels, dominates the stage. ``grouped_map``
+keeps the same per-group function contract but executes it as
+
+    repartition(N, conv_id) → sortWithinPartitions(conv_id, turn_idx)
+                            → mapInPandas(iterate groups inside the batch)
+
+one Arrow batch per ~4096 rows instead of per group (measured ~5x faster
+on 4000 no-op groups). Rows of one conversation can span adjacent input
+batches (arrow.maxRecordsPerBatch); the iterator buffers the trailing
+partial group across batches, which also handles conversations larger
+than a single batch (skewed giant convs).
+
+The explicit ``repartition(N, key)`` doubles as the skew/parallelism
+control: it pins the stage's parallelism (AQE would coalesce a tiny
+shuffle to 1 partition and serialize the whole stage) and hash-spreads
+conversations; per-row ordering inside a conversation is restored by the
+partition-local sort (W4 stable turn ordering).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def iter_key_groups(
+    batches: Iterator[pd.DataFrame], key: str = "conv_id"
+) -> Iterator[pd.DataFrame]:
+    """Iterate contiguous key-groups across an Arrow batch stream (input
+    must be sorted by ``key`` within the partition)."""
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None and len(pending):
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last = pdf[key].iloc[-1]
+        mask = pdf[key] == last
+        pending = pdf[mask]
+        work = pdf[~mask]
+        if len(work):
+            for _, g in work.groupby(key, sort=False):
+                yield g
+    if pending is not None and len(pending):
+        for _, g in pending.groupby(key, sort=False):
+            yield g
+
+
+def grouped_map(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame | None],
+    schema: str,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    partitions: int | None = None,
+    out_rows_per_batch: int = 4096,
+) -> DataFrame:
+    """applyInPandas semantics (``fn`` sees one whole group, returns a
+    DataFrame of output rows) at mapInPandas cost. See module docstring."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
+        nrows = 0
+        for g in iter_key_groups(batches, key):
+            out = fn(g)
+            if out is not None and len(out):
+                buf.append(out)
+                nrows += len(out)
+            if nrows >= out_rows_per_batch:
+                yield pd.concat(buf, ignore_index=True)
+                buf, nrows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return (
+        df.repartition(partitions, key)
+        .sortWithinPartitions(key, order)
+        .mapInPandas(mapper, schema=schema)
+    )

@@ -12,6 +12,7 @@ UDF closure, so each executor pays construction once per task set.
 
 from __future__ import annotations
 
+import uuid
 from collections import deque
 
 
@@ -126,3 +127,54 @@ class SurfaceIndex:
                 seen.add(person)
                 out.append(person)
         return out
+
+    def person_surfaces(self) -> dict[str, list[str]]:
+        """person → sorted distinct surfaces (the reference's
+        get_all_names_of_people, Relationship.py:53-59). Memoized — called
+        once per applyInPandas group."""
+        cached = getattr(self, "_person_surfaces", None)
+        if cached is not None:
+            return cached
+        out: dict[str, set] = {}
+        for surface, payloads in zip(self._surfaces, self._payloads):
+            for person, _kind in payloads:
+                out.setdefault(person, set()).add(surface)
+        result = {p: sorted(s) for p, s in out.items()}
+        self._person_surfaces = result
+        return result
+
+
+class SurfaceIndexHandle:
+    """Driver-side handle that ships the RAW surface rows via a Spark
+    broadcast; each executor python worker builds the Aho-Corasick automaton
+    ONCE (module-level cache keyed by version) instead of unpickling a
+    multi-MB automaton object per task from the UDF closure — the scalable
+    distribution of J1's probe dictionary."""
+
+    def __init__(self, spark, rows: list[tuple[str, str, str]]) -> None:
+        self.version = uuid.uuid4().hex
+        self.rows = rows
+        self.broadcast = spark.sparkContext.broadcast((self.version, rows))
+        self._local: SurfaceIndex | None = None
+
+    def local(self) -> SurfaceIndex:
+        """Driver-side index (built lazily on first driver use)."""
+        if self._local is None:
+            self._local = SurfaceIndex(self.rows)
+        return self._local
+
+
+_WORKER_INDEX_CACHE: dict[str, SurfaceIndex] = {}
+
+
+def cached_index(broadcast) -> SurfaceIndex:
+    """Worker-side: build-or-fetch the automaton for a broadcast handle.
+    Survives across tasks via python worker reuse."""
+    version, rows = broadcast.value
+    idx = _WORKER_INDEX_CACHE.get(version)
+    if idx is None:
+        if len(_WORKER_INDEX_CACHE) > 4:  # old pipeline versions
+            _WORKER_INDEX_CACHE.clear()
+        idx = SurfaceIndex(rows)
+        _WORKER_INDEX_CACHE[version] = idx
+    return idx

@@ -22,11 +22,11 @@ _PARTICLES = set("èˆ‡å’Œè¢«å› çš„ç‚ºå…¶æ˜¯æ–¼è€Œäº†ä¹‹åœ¨åˆ°è‡³åŠæš¨ä¸¦äº¦ä¹Ÿçš
 _SENTINEL = "there has no relationships"
 
 
-def _segment(clause: str, surfaces: list[str]) -> list[tuple[str, str]]:
-    """Longest-match segmentation â†’ [(token, pos)].
-
-    pos âˆˆ NR (known surface), VV (verb lexicon), NN (noun lexicon),
-    P (particle), CD (digits), X (single unknown char)."""
+def build_lex_index(surfaces: list[str]) -> dict[str, list[tuple[str, str]]]:
+    """First-char-bucketed longest-first lexicon over surfaces + verb/noun
+    lexicons â€” built ONCE per conversation; segmentation then probes only
+    the bucket of the current char instead of the whole lexicon (the
+    original whole-list scan was the stage-2 hot spot)."""
     lex: list[tuple[str, str]] = []
     for s in surfaces:
         if s:
@@ -35,13 +35,25 @@ def _segment(clause: str, surfaces: list[str]) -> list[tuple[str, str]]:
         lex.append((v, "VV"))
     for n in NOUN_LEXICON:
         lex.append((n, "NN"))
-    lex.sort(key=lambda t: len(t[0]), reverse=True)
+    index: dict[str, list[tuple[str, str]]] = {}
+    for word, pos in lex:
+        index.setdefault(word[0], []).append((word, pos))
+    for bucket in index.values():
+        # stable: same-length ties keep surface-before-verb-before-noun order
+        bucket.sort(key=lambda t: -len(t[0]))
+    return index
 
+
+def _segment(clause: str, lex_index: dict[str, list[tuple[str, str]]]) -> list[tuple[str, str]]:
+    """Longest-match segmentation â†’ [(token, pos)].
+
+    pos âˆˆ NR (known surface), VV (verb lexicon), NN (noun lexicon),
+    P (particle), CD (digits), X (single unknown char)."""
     tokens: list[tuple[str, str]] = []
     i = 0
     while i < len(clause):
         hit = None
-        for word, pos in lex:
+        for word, pos in lex_index.get(clause[i], ()):
             if clause.startswith(word, i):
                 hit = (word, pos)
                 break
@@ -63,11 +75,15 @@ def _segment(clause: str, surfaces: list[str]) -> list[tuple[str, str]]:
     return tokens
 
 
-def build_dep_dict(clause: str, surfaces: list[str]) -> dict:
+def build_dep_dict(clause: str, surfaces: list[str] | dict) -> dict:
     """Surface-form-keyed token dict with dependencies, mirroring the shape
     of the reference's build_dict (Relationship.py:147-164) including
-    last-wins collisions on repeated surface forms."""
-    tokens = _segment(clause, surfaces)
+    last-wins collisions on repeated surface forms.
+
+    ``surfaces``: a raw surface list, or a prebuilt ``build_lex_index``
+    result (the per-conversation driver passes the latter)."""
+    lex_index = surfaces if isinstance(surfaces, dict) else build_lex_index(surfaces)
+    tokens = _segment(clause, lex_index)
     d: dict[str, dict] = {}
     for word, pos in tokens:
         d[word] = {"pos": pos, "dependency": {}}
@@ -190,12 +206,17 @@ def extract_relations_for_conv(
 
     raw: list[str] = []
     seen_surfaces: set[str] = set()
+    lex_index = build_lex_index([s for _, s in person_surfaces])
+    dep_cache: dict[str, dict] = {}
     for _person, surface in person_surfaces:
         if not surface or surface in seen_surfaces:
             continue
         seen_surfaces.add(surface)
         for line in relation_lines(text, surface):
-            result = relation_cascade(build_dep_dict(line, [s for _, s in person_surfaces]), biographee, surface)
+            dep = dep_cache.get(line)
+            if dep is None:
+                dep = dep_cache[line] = build_dep_dict(line, lex_index)
+            result = relation_cascade(dep, biographee, surface)
             if isinstance(result, list):
                 raw.extend(result)
             else:

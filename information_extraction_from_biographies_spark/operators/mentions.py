@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.extraction import extract_names_from_conv
+from ..functions.grouped import grouped_map
 
 _EXTRACT_SCHEMA = "conv_id string, kind string, name string, alias_type string, alias string"
 
@@ -43,24 +44,34 @@ def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["conv_id", "kind", "name", "alias_type", "alias"])
 
 
-def extract_people(turns: DataFrame, meta: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """→ (conv_names, conv_aliases), both per-conversation.
-
-    conv_names:   (conv_id, name)
-    conv_aliases: (conv_id, name, alias_type, alias)
-    """
+def extract_people_combined(turns: DataFrame, meta: DataFrame) -> DataFrame:
+    """One extraction pass → (conv_id, kind∈{name,alias}, name, alias_type,
+    alias). Persist/materialize THIS when both splits are needed — the
+    name/alias splits below are filters over the same lineage."""
     # biographee travels with the group: broadcast-join meta onto turns
     # (meta is |convs| rows of a few strings — well under the threshold for
     # dims derived per-conv; at extreme scale it is co-partitioned instead).
     enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
         F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
-    extracted = enriched.groupBy("conv_id").applyInPandas(_extract_group, schema=_EXTRACT_SCHEMA)
+    return grouped_map(enriched, _extract_group, _EXTRACT_SCHEMA)
+
+
+def split_extracted(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     conv_names = extracted.filter(F.col("kind") == "name").select("conv_id", "name")
     conv_aliases = extracted.filter(F.col("kind") == "alias").select(
         "conv_id", "name", "alias_type", "alias"
     )
     return conv_names, conv_aliases
+
+
+def extract_people(turns: DataFrame, meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (conv_names, conv_aliases), both per-conversation.
+
+    conv_names:   (conv_id, name)
+    conv_aliases: (conv_id, name, alias_type, alias)
+    """
+    return split_extracted(extract_people_combined(turns, meta))
 
 
 def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -26,14 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.clauses import split_clauses_with_positions
+from ..functions.grouped import grouped_map
 from ..functions.extraction import KIN_TEMP_TYPE
-from ..functions.matcher import SurfaceIndex
+from ..functions.matcher import SurfaceIndexHandle, cached_index
 
 _SCAN_SCHEMA = "conv_id string, kind string, pos int, person string, surface string"
 
 
-def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndex:
-    """Collect the registry and build the automaton (driver-side).
+def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndexHandle:
+    """Collect the registry and broadcast the raw surface rows; executors
+    build the automaton once per worker (matcher.cached_index).
 
     親屬關係暫存-packed pseudo-aliases are kept — the reference probes them
     too (Utilities.py:58-63); they simply never match text."""
@@ -42,28 +44,28 @@ def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndex:
         for r in surfaces_df.collect()
         if r["surface"] is not None
     ]
-    return SurfaceIndex(rows)
+    return SurfaceIndexHandle(surfaces_df.sparkSession, rows)
 
 
-def scan_mentions(turns: DataFrame, index: SurfaceIndex) -> DataFrame:
+def scan_mentions(turns: DataFrame, index: SurfaceIndexHandle) -> DataFrame:
     """→ (conv_id, kind, pos, person, surface); see module docstring."""
+    bc = index.broadcast
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_index(bc)
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         rows = []
-        for person in index.distinct_persons_in(text):
+        for person in idx.distinct_persons_in(text):
             rows.append((conv_id, "person", -1, person, None))
         for clause, pos in split_clauses_with_positions(text):
-            for person, surface, _k in index.persons_in(clause):
+            for person, surface, _k in idx.persons_in(clause):
                 rows.append((conv_id, "occ", pos, person, surface))
         return pd.DataFrame(rows, columns=["conv_id", "kind", "pos", "person", "surface"])
 
-    return (
-        turns.select("conv_id", "turn_idx", "norm_text")
-        .groupBy("conv_id")
-        .applyInPandas(_scan, schema=_SCAN_SCHEMA)
+    return grouped_map(
+        turns.select("conv_id", "turn_idx", "norm_text"), _scan, _SCAN_SCHEMA
     )
 
 

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.extraction import KIN_TEMP_TYPE, extract_hometown
-from ..functions.matcher import SurfaceIndex
+from ..functions.grouped import grouped_map
+from ..functions.matcher import SurfaceIndexHandle, cached_index
 from ..functions.relations import extract_relations_for_conv
 from ..functions.timeline import extract_timeline
 
@@ -40,16 +41,16 @@ def kinship_triples(conv_aliases: DataFrame) -> DataFrame:
     )
 
 
-def verb_triples(turns: DataFrame, meta: DataFrame, index: SurfaceIndex) -> DataFrame:
+def verb_triples(turns: DataFrame, meta: DataFrame, index: SurfaceIndexHandle) -> DataFrame:
     """N5 per conversation. The automaton finds the persons present; their
     full surface lists (reference: get_all_names_of_people,
-    Relationship.py:53-59) come from the same index payloads."""
-    person_surfaces: dict[str, list[str]] = {}
-    for surface, payloads in zip(index._surfaces, index._payloads):
-        for person, _kind in payloads:
-            person_surfaces.setdefault(person, []).append(surface)
+    Relationship.py:53-59) come from the same index payloads — both built
+    worker-side from the broadcast handle."""
+    bc = index.broadcast
 
     def _rel(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_index(bc)
+        person_surfaces = idx.person_surfaces()
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
@@ -57,8 +58,8 @@ def verb_triples(turns: DataFrame, meta: DataFrame, index: SurfaceIndex) -> Data
         if not bio_vals:
             return pd.DataFrame(columns=TRIPLE_COLS)
         biographee = bio_vals[0]
-        detected = index.distinct_persons_in(text)
-        pairs = [(p, s) for p in detected for s in sorted(set(person_surfaces.get(p, [])))]
+        detected = idx.distinct_persons_in(text)
+        pairs = [(p, s) for p in detected for s in person_surfaces.get(p, [])]
         triples = extract_relations_for_conv(text, biographee, pairs)
         return pd.DataFrame(
             [(conv_id, s, p, o, "verb") for (s, p, o) in sorted(set(triples))],
@@ -68,7 +69,7 @@ def verb_triples(turns: DataFrame, meta: DataFrame, index: SurfaceIndex) -> Data
     enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
         F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
-    return enriched.groupBy("conv_id").applyInPandas(_rel, schema=_TRIPLE_SCHEMA)
+    return grouped_map(enriched, _rel, _TRIPLE_SCHEMA)
 
 
 def hometown_triples(turns: DataFrame, meta: DataFrame) -> DataFrame:
@@ -89,7 +90,7 @@ def hometown_triples(turns: DataFrame, meta: DataFrame) -> DataFrame:
     enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
         F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
-    return enriched.groupBy("conv_id").applyInPandas(_home, schema=_TRIPLE_SCHEMA)
+    return grouped_map(enriched, _home, _TRIPLE_SCHEMA)
 
 
 def vital_triples(meta: DataFrame) -> DataFrame:
@@ -133,10 +134,8 @@ def timeline_table(turns: DataFrame) -> DataFrame:
         rows = [(conv_id, y, e, s) for (y, e, s) in extract_timeline(text)]
         return pd.DataFrame(rows, columns=["conv_id", "year", "event", "start_pos"])
 
-    return (
-        turns.select("conv_id", "turn_idx", "norm_text")
-        .groupBy("conv_id")
-        .applyInPandas(_tl, schema=_TIMELINE_SCHEMA)
+    return grouped_map(
+        turns.select("conv_id", "turn_idx", "norm_text"), _tl, _TIMELINE_SCHEMA
     )
 
 
@@ -144,7 +143,7 @@ def all_triples(
     conv_aliases: DataFrame,
     turns: DataFrame,
     meta: DataFrame,
-    index: SurfaceIndex,
+    index: SurfaceIndexHandle,
 ) -> DataFrame:
     return (
         kinship_triples(conv_aliases)

@@ -92,17 +92,13 @@ class Pipeline:
         turns = _materialize("stage0_turns", _norm_turns, {"transcripts": "input"})
         meta = _materialize("stage0_meta", _norm_meta, {"transcripts": "input"})
 
-        # stage 1
-        def _names():
-            cn, _ = mentions.extract_people(turns, meta)
-            return cn
+        # stage 1 — one extraction pass, persisted across the two table writes
+        extracted = mentions.extract_people_combined(turns, meta).persist()
+        ext_names, ext_aliases = mentions.split_extracted(extracted)
 
-        def _aliases():
-            _, ca = mentions.extract_people(turns, meta)
-            return ca
-
-        conv_names = _materialize("stage1_names", _names, {"stage0_turns": sid})
-        conv_aliases = _materialize("stage1_aliases", _aliases, {"stage0_turns": sid})
+        conv_names = _materialize("stage1_names", lambda: ext_names, {"stage0_turns": sid})
+        conv_aliases = _materialize("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid})
+        extracted.unpersist()
 
         def _people():
             p, _ = mentions.build_registry(conv_names, conv_aliases)

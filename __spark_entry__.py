@@ -252,6 +252,96 @@ def _w5_topk_per_group(spark, sf_dir):
     )
 
 
+def _j2_surname_prefix_join(spark, sf_dir):
+    """J2: longest-prefix probe against a small dim via substr equi-joins at
+    each prefix length + row_number priority pick (NER.py:261-265 shape)."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("c", 1), ("cl", 2), ("cli", 3), ("v", 1), ("vi", 2), ("s", 1), ("p", 1)],
+        "prefix string, plen int",
+    )
+    joined = e.join(
+        F.broadcast(dim),
+        F.substring(F.col("event_type"), 1, 3).substr(F.lit(1), F.col("plen"))
+        == F.col("prefix"),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("plen"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "event_type", F.col("prefix").alias("surname"))
+    )
+
+
+def _w6_first_last_para(spark, sf_dir):
+    """W6: first paragraph + last two paragraphs via ranking windows over
+    the per-group ordering (NER.py:180,267-274 scope pruning)."""
+    e = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        e.withColumn("rn_first", F.row_number().over(wa))
+        .withColumn("rn_last", F.row_number().over(wd))
+        .filter((F.col("rn_first") == 1) | (F.col("rn_last") <= 2))
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("rn_first") == 1).alias("is_first"),
+            (F.col("rn_last") <= 2).alias("is_last2"),
+        )
+    )
+
+
+def _f2_chapter_branch(spark, sf_dir):
+    """F2: regex-routed chapter rows set the running category; person rows
+    inherit it and chapter rows are excluded from the registry output
+    (Convert_And_Extract.py:55-62)."""
+    e = _t(spark, sf_dir, "events")
+    is_chapter = F.col("event_type").rlike("^sign")
+    cat = F.when(is_chapter, F.col("props"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("category", F.last(cat, ignorenulls=True).over(w))
+        .filter(~is_chapter)
+        .select("event_id", "user_id", "category")
+    )
+
+
+def _a8_toc_dedup(spark, sf_dir):
+    """A8: upsert keyed (name, start_page) ⇒ dedup on the natural key,
+    deterministic survivor (Convert_And_Extract.py:65-67)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("keep_orderkey"), F.count("*").alias("n"))
+        .select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "keep_orderkey",
+            "n",
+        )
+    )
+
+
+def _x4_clause_split(spark, sf_dir):
+    """X4: clause splitting that KEEPS the delimiter identity —
+    regexp_extract_all of (clause)(delim) pairs + posexplode
+    (Cooccurrence.py:56-65's leftmost-delimiter split)."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"(.*?)\b(sort|merge|join)\b"
+    clauses = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1))
+    delims = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(2))
+    return (
+        docs.select("doc_id", F.posexplode(F.arrays_zip(clauses, delims)))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("clause_idx"),
+            F.col("col.0").alias("clause"),
+            F.col("col.1").alias("delim"),
+        )
+    )
+
+
 def _a7_last_status(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(F.max_by("o_orderstatus", "o_orderkey").alias("last_status"))
@@ -448,6 +538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_suppliers_in_region": _j3_suppliers_in_region,
         "w5_topk_per_group": _w5_topk_per_group,
         "a7_last_status": _a7_last_status,
+        "j2_surname_prefix_join": _j2_surname_prefix_join,
+        "w6_first_last_para": _w6_first_last_para,
+        "f2_chapter_branch": _f2_chapter_branch,
+        "a8_toc_dedup": _a8_toc_dedup,
+        "x4_clause_split": _x4_clause_split,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_revenue,
         "q5_nation_volume": _q5_nation_volume,
@@ -572,6 +667,48 @@ def oracle_sql() -> dict[str, str]:
         "a7_last_status": """
             SELECT o_custkey, max_by(o_orderstatus, o_orderkey) AS last_status
             FROM orders GROUP BY o_custkey
+        """,
+        "j2_surname_prefix_join": """
+            WITH dim(prefix, plen) AS (VALUES ('c',1),('cl',2),('cli',3),('v',1),('vi',2),('s',1),('p',1)),
+            joined AS (
+              SELECT event_id, event_type, prefix, plen,
+                     row_number() OVER (PARTITION BY event_id ORDER BY plen DESC) AS rk
+              FROM events JOIN dim
+                ON substring(substring(event_type, 1, 3), 1, plen) = prefix)
+            SELECT event_id, event_type, prefix AS surname FROM joined WHERE rk = 1
+        """,
+        "w6_first_last_para": """
+            SELECT user_id, event_id,
+                   rn_first = 1 AS is_first,
+                   rn_last <= 2 AS is_last2
+            FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn_first,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn_last
+              FROM events)
+            WHERE rn_first = 1 OR rn_last <= 2
+        """,
+        "f2_chapter_branch": """
+            SELECT event_id, user_id, category FROM (
+              SELECT event_id, user_id, regexp_matches(event_type, '^sign') AS is_chapter,
+                     last_value(CASE WHEN regexp_matches(event_type, '^sign') THEN props END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY event_id) AS category
+              FROM events)
+            WHERE NOT is_chapter
+        """,
+        "a8_toc_dedup": """
+            SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   min(o_orderkey) AS keep_orderkey, count(*) AS n
+            FROM orders GROUP BY o_custkey, o_orderdate
+        """,
+        "x4_clause_split": r"""
+            SELECT doc_id,
+                   CAST(u.i - 1 AS INT) AS clause_idx,
+                   regexp_extract_all(text, '(.*?)\b(sort|merge|join)\b', 1)[u.i] AS clause,
+                   regexp_extract_all(text, '(.*?)\b(sort|merge|join)\b', 2)[u.i] AS delim
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1,
+                     len(regexp_extract_all(text, '(.*?)\b(sort|merge|join)\b', 1)))) AS i) u
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -52,19 +52,27 @@ HEADLINE = [
 ]
 
 
-def materialize_transcripts(spark, n_convs: int, path: str | None = None) -> str:
+def materialize_transcripts(
+    spark, n_convs: int, path: str | None = None, career_reps: int = 0
+) -> str:
     """Write the deterministic scaled transcript table to parquet once
     (untimed input synthesis — the pipeline reads it back like any table)."""
-    path = path or f"/tmp/kg_bench_transcripts_{n_convs}"
+    path = path or f"/tmp/kg_bench_transcripts_{n_convs}_r{career_reps}"
     if not os.path.isdir(path):
-        fx.make_scaled_transcripts(spark, n_convs=n_convs).write.mode("overwrite").parquet(path)
+        fx.make_scaled_transcripts(
+            spark, n_convs=n_convs, career_reps=career_reps
+        ).write.mode("overwrite").parquet(path)
     return path
 
 
-def kg_pipeline_run(spark, n_convs: int, transcripts_path: str | None = None):
+def kg_pipeline_run(
+    spark, n_convs: int, transcripts_path: str | None = None, career_reps: int = 0
+):
     """End-to-end KG extraction (stages 0-4, no checkpoint I/O) over the
     scaled transcript table; returns (wall_s, n_triples, n_turns, ...)."""
-    tdf = spark.read.parquet(materialize_transcripts(spark, n_convs, transcripts_path))
+    tdf = spark.read.parquet(
+        materialize_transcripts(spark, n_convs, transcripts_path, career_reps)
+    )
     t0 = time.monotonic()
     turns, meta = normalize.normalize(tdf)
     turns = turns.persist()
@@ -74,9 +82,13 @@ def kg_pipeline_run(spark, n_convs: int, transcripts_path: str | None = None):
     people, aliases = mentions.build_registry(conv_names, conv_aliases)
     people = people.persist()
     aliases = aliases.persist()
-    index = scan.build_surface_index(mentions.registry_surfaces(people, aliases))
-    triple_rows = triples.all_triples(conv_aliases, turns, meta, index)
+    surfaces_df = mentions.registry_surfaces(people, aliases)
+    index = scan.build_surface_index(surfaces_df)
     mention_rows = scan.scan_mentions(turns, index).persist()
+    triple_rows = triples.all_triples(
+        conv_aliases, turns, meta, index,
+        mention_rows=mention_rows, registry_surfaces_df=surfaces_df,
+    )
     cooc = cooccurrence.cooccurrence_scores(
         scan.occurrences(mention_rows), scan.persons_in_conv(mention_rows), meta
     )

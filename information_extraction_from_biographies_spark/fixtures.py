@@ -317,10 +317,21 @@ def transcripts_sdf(spark, fixture: Fixture | None = None, n_convs: int = 20, se
     )
 
 
-def make_scaled_transcripts(spark, n_convs: int = 2000, seed: int = 11, skew: bool = False):
+def make_scaled_transcripts(
+    spark,
+    n_convs: int = 2000,
+    seed: int = 11,
+    skew: bool = False,
+    career_reps: int = 0,
+):
     """Large deterministic transcript table for bench/skew runs, generated
     distributed (mapInPandas over a range — the same mechanism generates
-    10^9 rows on a cluster; no driver-side loop)."""
+    10^9 rows on a cluster; no driver-side loop).
+
+    ``career_reps`` appends that many extra copies of the two career turns
+    per conversation (turn_idx continues) — raises per-conversation text
+    volume so benchmark runs are compute-bound rather than overhead-bound,
+    without changing the entity structure."""
 
     def _gen(pdf_iter):
         for pdf in pdf_iter:
@@ -335,10 +346,11 @@ def make_scaled_transcripts(spark, n_convs: int = 2000, seed: int = 11, skew: bo
                 )
                 t = fx.transcripts.copy()
                 t["conv_id"] = t["conv_id"] + f"#{int(ordinal)}"
-                if skew and int(ordinal) == 0:
+                reps_here = 2500 if (skew and int(ordinal) == 0) else career_reps
+                if reps_here:
                     reps = [t]
                     career = t[t.turn_idx.isin([1, 2])]
-                    for r in range(2500):
+                    for r in range(reps_here):
                         c = career.copy()
                         c["turn_idx"] = c["turn_idx"] + 2 * (r + 1)
                         reps.append(c)

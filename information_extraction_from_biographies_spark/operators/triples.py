@@ -41,33 +41,49 @@ def kinship_triples(conv_aliases: DataFrame) -> DataFrame:
     )
 
 
-def verb_triples(turns: DataFrame, meta: DataFrame, index: SurfaceIndexHandle) -> DataFrame:
-    """N5 per conversation. The automaton finds the persons present; their
-    full surface lists (reference: get_all_names_of_people,
-    Relationship.py:53-59) come from the same index payloads — both built
-    worker-side from the broadcast handle."""
-    bc = index.broadcast
+def conv_person_surfaces(detected_persons: DataFrame, registry_surfaces_df: DataFrame) -> DataFrame:
+    """(conv_id, person, surface): each person the mention scan detected in
+    a conversation × every surface of that person (the reference's
+    get_all_names_of_people, Relationship.py:53-59) — a broadcast hash join
+    against the registry instead of a per-worker automaton rebuild. At
+    registry sizes past the broadcast threshold this becomes a plain
+    shuffle equi-join on person; the shape is unchanged."""
+    surf = registry_surfaces_df.select("person", "surface")
+    return detected_persons.join(F.broadcast(surf), "person").select(
+        "conv_id", "person", "surface"
+    ).distinct()
+
+
+def verb_triples(turns: DataFrame, meta: DataFrame, person_surfaces_df: DataFrame) -> DataFrame:
+    """N5 per conversation. The persons present come from the stage-2
+    mention scan (one automaton pass, J1); this operator is downstream of
+    it relationally: per-conv (person, surface) pairs are aggregated with
+    collect_list and co-shuffled with the turns on conv_id — no automaton
+    here, so the stage is pure Python-kernel work over its Arrow batches."""
+    per_conv = person_surfaces_df.groupBy("conv_id").agg(
+        F.collect_list(F.struct("person", "surface")).alias("pairs")
+    )
 
     def _rel(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = cached_index(bc)
-        person_surfaces = idx.person_surfaces()
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
-        if not bio_vals:
+        pairs_raw = next((p for p in pdf["pairs"] if p is not None and len(p) > 0), None)
+        if not bio_vals or pairs_raw is None:
             return pd.DataFrame(columns=TRIPLE_COLS)
         biographee = bio_vals[0]
-        detected = idx.distinct_persons_in(text)
-        pairs = [(p, s) for p in detected for s in person_surfaces.get(p, [])]
+        pairs = sorted({(d["person"], d["surface"]) for d in pairs_raw})
         triples = extract_relations_for_conv(text, biographee, pairs)
         return pd.DataFrame(
             [(conv_id, s, p, o, "verb") for (s, p, o) in sorted(set(triples))],
             columns=TRIPLE_COLS,
         )
 
-    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
-        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
+    enriched = (
+        turns.select("conv_id", "turn_idx", "norm_text")
+        .join(F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left")
+        .join(per_conv, "conv_id", "left")
     )
     return grouped_map(enriched, _rel, _TRIPLE_SCHEMA)
 
@@ -144,10 +160,25 @@ def all_triples(
     turns: DataFrame,
     meta: DataFrame,
     index: SurfaceIndexHandle,
+    mention_rows: DataFrame | None = None,
+    registry_surfaces_df: DataFrame | None = None,
 ) -> DataFrame:
+    """Union of the four channels. Pass ``mention_rows`` (the stage-2 scan
+    output — persist it, co-occurrence reads it too) so the automaton runs
+    once; without it the scan is computed here."""
+    from . import scan as scan_op
+
+    if mention_rows is None:
+        mention_rows = scan_op.scan_mentions(turns, index)
+    detected = scan_op.persons_in_conv(mention_rows)
+    if registry_surfaces_df is None:
+        registry_surfaces_df = turns.sparkSession.createDataFrame(
+            [(s, p) for (s, p, _k) in index.rows], "surface string, person string"
+        )
+    ps = conv_person_surfaces(detected, registry_surfaces_df)
     return (
         kinship_triples(conv_aliases)
-        .unionByName(verb_triples(turns, meta, index))
+        .unionByName(verb_triples(turns, meta, ps))
         .unionByName(hometown_triples(turns, meta))
         .unionByName(vital_triples(meta))
     )

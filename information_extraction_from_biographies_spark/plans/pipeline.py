@@ -111,8 +111,10 @@ class Pipeline:
         people = _materialize("stage1_people", _people, {"stage1_names": sid})
         alias_reg = _materialize("stage1_alias_registry", _alias_registry, {"stage1_aliases": sid})
 
-        # stage 2 — one surface index serves scan + verb triples
-        index = scan.build_surface_index(mentions.registry_surfaces(people, alias_reg))
+        # stage 2 — ONE automaton pass (the mention scan); verb triples
+        # consume its detected persons relationally (no per-worker rebuild)
+        surfaces_df = mentions.registry_surfaces(people, alias_reg)
+        index = scan.build_surface_index(surfaces_df)
 
         mention_rows = _materialize(
             "stage2_mentions",
@@ -121,8 +123,15 @@ class Pipeline:
         )
         triple_rows = _materialize(
             "stage2_triples",
-            lambda: triples.all_triples(conv_aliases, turns, meta, index),
-            {"stage0_turns": sid, "stage1_people": sid},
+            lambda: triples.all_triples(
+                conv_aliases,
+                turns,
+                meta,
+                index,
+                mention_rows=mention_rows,
+                registry_surfaces_df=surfaces_df,
+            ),
+            {"stage0_turns": sid, "stage1_people": sid, "stage2_mentions": sid},
         )
         timeline_rows = _materialize(
             "stage2_timeline",

@@ -30,8 +30,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "12000"))
-TRANSCRIPTS = f"/tmp/kg_scaling_transcripts_{N_CONVS}"
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "20000"))
+CAREER_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+TRANSCRIPTS = f"/tmp/kg_scaling_transcripts_{N_CONVS}_r{CAREER_REPS}"
 
 
 def measure(cores: int) -> dict:
@@ -44,7 +45,7 @@ def measure(cores: int) -> dict:
         shuffle_partitions=2 * cores,
     )
     wall, n_triples, n_turns, n_cooc, n_entities = bench.kg_pipeline_run(
-        spark, N_CONVS, transcripts_path=TRANSCRIPTS
+        spark, N_CONVS, transcripts_path=TRANSCRIPTS, career_reps=CAREER_REPS
     )
     spark.stop()
     return {
@@ -69,7 +70,7 @@ def main() -> None:
     from information_extraction_from_biographies_spark.session import get_spark
 
     spark = get_spark(app_name="kg-scaling-gen", master="local[32]")
-    bench.materialize_transcripts(spark, N_CONVS, TRANSCRIPTS)
+    bench.materialize_transcripts(spark, N_CONVS, TRANSCRIPTS, CAREER_REPS)
     spark.stop()
 
     results = {}
@@ -93,6 +94,7 @@ def main() -> None:
     t32 = results[32]["triples_per_sec"]
     summary = {
         "n_convs": N_CONVS,
+        "career_reps": CAREER_REPS,
         "n_turns": results[32]["n_turns"],
         "local8": results[8],
         "local32": results[32],

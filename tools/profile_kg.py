@@ -31,7 +31,10 @@ def step(label, fn):
 
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    spark = get_spark(app_name="kg-profile", master="local[32]", shuffle_partitions=64)
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(
+        app_name="kg-profile", master=f"local[{cores}]", shuffle_partitions=2 * cores
+    )
     path = step("materialize input", lambda: bench.materialize_transcripts(spark, n_convs))
     tdf = spark.read.parquet(path)
 

@@ -337,10 +337,13 @@ def make_scaled_transcripts(
         for pdf in pdf_iter:
             out = []
             for ordinal in pdf["id"]:
+                # fixed-width salt: variable-width ordinals made alias
+                # "X之3" a substring of "X之363"'s text, inflating every
+                # mention scan with false cross-conv hits
                 fx = make_fixture(
                     n_convs=1,
                     seed=seed + int(ordinal) % 997,
-                    alias_salt=f"之{int(ordinal)}",
+                    alias_salt=f"之{int(ordinal):06d}",
                     given_offset=(int(ordinal) * 131) % len(GIVEN_NAMES),
                     rich_aliases=False,
                 )

@@ -1,0 +1,48 @@
+"""Physical-plan audits: the properties that matter at 100 TB — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for small
+dims, whole-stage codegen for the relational glue."""
+
+import contextlib
+import io
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entry.queries()["j3_suppliers_in_region"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_column_pruning(spark):
+    df = entry.queries()["q1_pricing_summary"](spark, SF)
+    plan = plan_of(df)
+    # lineitem scan reads only the 7 needed columns
+    assert "l_returnflag" in plan and "l_quantity" in plan
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(entry.queries()["q5_nation_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(entry.queries()["j3_suppliers_in_region"](spark, SF))
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_wholestage_codegen_on_agg(spark):
+    plan = plan_of(entry.queries()["q1_pricing_summary"](spark, SF))
+    assert "WholeStageCodegen" in plan
+
+
+def test_anti_join_for_set_difference(spark):
+    plan = plan_of(entry.queries()["u4_customers_without_orders"](spark, SF))
+    assert "LeftAnti" in plan

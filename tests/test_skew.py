@@ -1,0 +1,58 @@
+"""Skew smoke (SURVEY §5.6): one giant conversation among small ones —
+the pipeline must complete with correct per-conv structure, the giant
+conv's O(M²) pair generation included (AQE skew-join + explicit
+repartition spread)."""
+
+import pandas as pd
+
+from information_extraction_from_biographies_spark import fixtures as fx
+from information_extraction_from_biographies_spark.operators import (
+    cooccurrence,
+    mentions,
+    normalize,
+    scan,
+)
+
+
+def _skewed_transcripts(spark, n_small=30, giant_reps=60):
+    f = fx.make_fixture(n_convs=n_small, seed=7)
+    t = f.transcripts
+    giant_conv = t[t.conv_id == f.truths[0].conv_id]
+    career = giant_conv[giant_conv.turn_idx.isin([1, 2])]
+    reps = [giant_conv]
+    for r in range(giant_reps):
+        c = career.copy()
+        c["turn_idx"] = c["turn_idx"] + 2 * (r + 1)
+        reps.append(c)
+    skewed = pd.concat([t[t.conv_id != f.truths[0].conv_id], *reps], ignore_index=True)
+    return (
+        spark.createDataFrame(
+            skewed,
+            schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ),
+        f,
+    )
+
+
+def test_skewed_conv_completes_with_correct_structure(spark):
+    tdf, f = _skewed_transcripts(spark)
+    giant = f.truths[0].conv_id
+    turns, meta = normalize.normalize(tdf)
+    people, aliases = mentions.build_registry(*mentions.extract_people(turns, meta))
+    index = scan.build_surface_index(mentions.registry_surfaces(people, aliases))
+    rows = scan.scan_mentions(turns, index)
+    cooc = cooccurrence.cooccurrence_scores(
+        scan.occurrences(rows), scan.persons_in_conv(rows), meta
+    ).persist()
+
+    per_conv = {r.conv_id: r.n for r in cooc.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()}
+    # giant conv produced pairs and didn't crash; small convs unaffected
+    assert per_conv[giant] > 0
+    small = [v for k, v in per_conv.items() if k != giant]
+    assert len(small) == 29 and all(v > 0 for v in small)
+
+    # repeated-mention scoring: the giant conv's repeated pairs still obey
+    # the closed-form depreciation (score is finite and positive)
+    giant_scores = [r.score for r in cooc.filter(cooc.conv_id == giant).collect()]
+    assert all(s > 0 and s == s for s in giant_scores)  # no NaN/inf blowup
+    cooc.unpersist()

@@ -32,10 +32,11 @@ def step(label, fn):
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     spark = get_spark(
         app_name="kg-profile", master=f"local[{cores}]", shuffle_partitions=2 * cores
     )
-    path = step("materialize input", lambda: bench.materialize_transcripts(spark, n_convs))
+    path = step("materialize input", lambda: bench.materialize_transcripts(spark, n_convs, career_reps=reps))
     tdf = spark.read.parquet(path)
 
     turns, meta = normalize.normalize(tdf)
@@ -61,7 +62,12 @@ def main():
 
     kin = triples.kinship_triples(conv_aliases)
     step("stage2 kinship triples", kin.count)
-    vb = triples.verb_triples(turns, meta, index)
+    mention_rows = scan.scan_mentions(turns, index).persist()
+    step("stage2 mention scan", mention_rows.count)
+    ps_df = triples.conv_person_surfaces(
+        scan.persons_in_conv(mention_rows), mentions.registry_surfaces(people, aliases)
+    )
+    vb = triples.verb_triples(turns, meta, ps_df)
     step("stage2 verb triples", vb.count)
     hm = triples.hometown_triples(turns, meta)
     step("stage2 hometown triples", hm.count)
@@ -69,9 +75,6 @@ def main():
     step("stage2 vital triples", vt.count)
     tl = triples.timeline_table(turns)
     step("stage2 timeline", tl.count)
-
-    mention_rows = scan.scan_mentions(turns, index).persist()
-    step("stage2 mention scan", mention_rows.count)
 
     cooc = cooccurrence.cooccurrence_scores(
         scan.occurrences(mention_rows), scan.persons_in_conv(mention_rows), meta

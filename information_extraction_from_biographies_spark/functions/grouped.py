@@ -62,9 +62,14 @@ def grouped_map(
     out_rows_per_batch: int = 4096,
 ) -> DataFrame:
     """applyInPandas semantics (``fn`` sees one whole group, returns a
-    DataFrame of output rows) at mapInPandas cost. See module docstring."""
+    DataFrame of output rows) at mapInPandas cost. See module docstring.
+
+    Default partition count follows ``spark.sql.shuffle.partitions`` — a
+    DATA-size knob, so the same job at different parallelism levels does
+    identical work per partition (cluster size changes how many run at
+    once, not how the data is cut)."""
     if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: list[pd.DataFrame] = []

@@ -80,10 +80,18 @@ def verb_triples(turns: DataFrame, meta: DataFrame, person_surfaces_df: DataFram
             columns=TRIPLE_COLS,
         )
 
-    enriched = (
-        turns.select("conv_id", "turn_idx", "norm_text")
-        .join(F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left")
-        .join(per_conv, "conv_id", "left")
+    # pairs ride ONLY on the turn-0 row: joining them onto every turn makes
+    # Arrow materialize the struct array per row (|turns| × |pairs| python
+    # dicts). Convs without turn 0 have no meta row either (normalize reads
+    # the title from turn 0), so nothing is lost on the rest branch.
+    base = turns.select("conv_id", "turn_idx", "norm_text")
+    pairs_type = "array<struct<person:string,surface:string>>"
+    turn0 = base.filter(F.col("turn_idx") == 0).join(per_conv, "conv_id", "left")
+    rest = base.filter(F.col("turn_idx") != 0).withColumn(
+        "pairs", F.lit(None).cast(pairs_type)
+    )
+    enriched = turn0.unionByName(rest).join(
+        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
     return grouped_map(enriched, _rel, _TRIPLE_SCHEMA)
 

@@ -39,8 +39,13 @@ def test_small_dims_broadcast(spark):
 
 
 def test_wholestage_codegen_on_agg(spark):
-    plan = plan_of(entry.queries()["q1_pricing_summary"](spark, SF))
-    assert "WholeStageCodegen" in plan
+    df = entry.queries()["q1_pricing_summary"](spark, SF)
+    # AQE finalizes the plan on execution; codegen stages then show as *(n)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "*(" in plan and "isFinalPlan=true" in plan
+    # and the aggregate is two-phase (map-side partial combine)
+    assert "partial_sum" in plan
 
 
 def test_anti_join_for_set_difference(spark):

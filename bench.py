@@ -22,6 +22,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F  # noqa: N812
+
 from information_extraction_from_biographies_spark import fixtures as fx
 from information_extraction_from_biographies_spark.operators import (
     canonicalize,
@@ -29,6 +31,7 @@ from information_extraction_from_biographies_spark.operators import (
     mentions,
     normalize,
     scan,
+    stage2,
     triples,
 )
 from information_extraction_from_biographies_spark.session import get_spark
@@ -73,7 +76,26 @@ def kg_pipeline_run(
     tdf = spark.read.parquet(
         materialize_transcripts(spark, n_convs, transcripts_path, career_reps)
     )
+    verbose = os.environ.get("KG_BENCH_VERBOSE") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(label):
+        if verbose:
+            marks.append((label, time.monotonic()))
+            if len(marks) > 1:
+                sys.stderr.write(
+                    f"STEP {marks[-2][0]:>14s}..{label:<14s} {marks[-1][1]-marks[-2][1]:6.1f}s\n"
+                )
+
     t0 = time.monotonic()
+    mark("start")
+    # Action structure tuned for sandbox fixed costs AND concurrency:
+    # (1) the driver-side registry collect materializes the cached
+    #     turns/extraction chain as a side effect,
+    # (2) one job materializes the fused stage-2 pass,
+    # (3) the independent downstream branches (triples, co-occurrence,
+    #     entities/CC) run as CONCURRENT jobs from driver threads — their
+    #     shared inputs are already cached, so no cache-lock serialization.
     turns, meta = normalize.normalize(tdf)
     turns = turns.persist()
     meta = meta.persist()
@@ -83,22 +105,30 @@ def kg_pipeline_run(
     people = people.persist()
     aliases = aliases.persist()
     surfaces_df = mentions.registry_surfaces(people, aliases)
-    index = scan.build_surface_index(surfaces_df)
-    mention_rows = scan.scan_mentions(turns, index).persist()
-    triple_rows = triples.all_triples(
-        conv_aliases, turns, meta, index,
-        mention_rows=mention_rows, registry_surfaces_df=surfaces_df,
-    )
+    index = scan.build_surface_index(surfaces_df)  # action 1 (collect)
+    mark("index")
+    fused = stage2.fused_scan_extract(turns, meta, index).persist()
+    n_turns = turns.count()
+    n_fused = fused.count()  # action 2: materialize the fused pass
+    mark("fused")
+    mention_rows = stage2.mention_rows(fused)
+    triple_rows = stage2.all_triples_fused(fused, conv_aliases, meta)
     cooc = cooccurrence.cooccurrence_scores(
         scan.occurrences(mention_rows), scan.persons_in_conv(mention_rows), meta
     )
     entities = canonicalize.entity_table(people, aliases)
-    n_triples = triple_rows.count()
-    n_cooc = cooc.count()
-    n_entities = entities.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_tri = pool.submit(triple_rows.count)
+        f_cooc = pool.submit(cooc.count)
+        f_ent = pool.submit(entities.count)
+        n_triples, n_cooc, n_entities = f_tri.result(), f_cooc.result(), f_ent.result()
+    mark("branches")
     wall = time.monotonic() - t0
-    n_turns = turns.count()
-    for df in (turns, meta, extracted, people, aliases, mention_rows):
+    del n_fused
+    for df in (turns, meta, extracted, people, aliases, fused):
         df.unpersist()
     return wall, n_triples, n_turns, n_cooc, n_entities
 

@@ -48,10 +48,13 @@ def conv_person_surfaces(detected_persons: DataFrame, registry_surfaces_df: Data
     against the registry instead of a per-worker automaton rebuild. At
     registry sizes past the broadcast threshold this becomes a plain
     shuffle equi-join on person; the shape is unchanged."""
+    # no distinct needed: detected_persons is unique per (conv_id, person)
+    # by construction (repeatOK=False scan) and the registry surface table
+    # is globally distinct — the join is already key-unique.
     surf = registry_surfaces_df.select("person", "surface")
     return detected_persons.join(F.broadcast(surf), "person").select(
         "conv_id", "person", "surface"
-    ).distinct()
+    )
 
 
 def verb_triples(turns: DataFrame, meta: DataFrame, person_surfaces_df: DataFrame) -> DataFrame:

@@ -20,7 +20,16 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import canonicalize, cooccurrence, graph, mentions, normalize, scan, triples
+from ..operators import (
+    canonicalize,
+    cooccurrence,
+    graph,
+    mentions,
+    normalize,
+    scan,
+    stage2,
+    triples,
+)
 from ..sources.checkpoint import CheckpointStore
 
 STAGES = [
@@ -111,33 +120,29 @@ class Pipeline:
         people = _materialize("stage1_people", _people, {"stage1_names": sid})
         alias_reg = _materialize("stage1_alias_registry", _alias_registry, {"stage1_aliases": sid})
 
-        # stage 2 — ONE automaton pass (the mention scan); verb triples
-        # consume its detected persons relationally (no per-worker rebuild)
+        # stage 2 — ONE fused pass over the text computes mention scan,
+        # verb cascade, hometown, and timeline together (operators/stage2);
+        # the three stage tables are filters over the persisted union.
         surfaces_df = mentions.registry_surfaces(people, alias_reg)
         index = scan.build_surface_index(surfaces_df)
+        fused = stage2.fused_scan_extract(turns, meta, index).persist()
 
         mention_rows = _materialize(
             "stage2_mentions",
-            lambda: scan.scan_mentions(turns, index),
+            lambda: stage2.mention_rows(fused),
             {"stage0_turns": sid, "stage1_people": sid},
         )
         triple_rows = _materialize(
             "stage2_triples",
-            lambda: triples.all_triples(
-                conv_aliases,
-                turns,
-                meta,
-                index,
-                mention_rows=mention_rows,
-                registry_surfaces_df=surfaces_df,
-            ),
+            lambda: stage2.all_triples_fused(fused, conv_aliases, meta),
             {"stage0_turns": sid, "stage1_people": sid, "stage2_mentions": sid},
         )
         timeline_rows = _materialize(
             "stage2_timeline",
-            lambda: triples.timeline_table(turns),
+            lambda: stage2.timeline_rows(fused),
             {"stage0_turns": sid},
         )
+        fused.unpersist()
 
         # stage 3
         entities = _materialize(

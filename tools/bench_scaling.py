@@ -40,6 +40,12 @@ BASE_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
 TRANSCRIPTS = f"/tmp/kg_scaling_transcripts_{N_CONVS}_r{CAREER_REPS}"
 
 
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals), (vals[7] if len(vals) > 7 else 0), vals[3]
+
+
 def measure(cores: int) -> dict:
     import bench
     from information_extraction_from_biographies_spark.session import get_spark
@@ -51,12 +57,17 @@ def measure(cores: int) -> dict:
         master=f"local[{cores}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "64")),
     )
+    t_a, s_a, i_a = _cpu_stat()
     wall, n_triples, n_turns, n_cooc, n_entities = bench.kg_pipeline_run(
         spark, N_CONVS, transcripts_path=TRANSCRIPTS, career_reps=CAREER_REPS
     )
+    t_b, s_b, i_b = _cpu_stat()
     spark.stop()
+    dt = max(t_b - t_a, 1)
     return {
         "cores": cores,
+        "steal_pct": round(100.0 * (s_b - s_a) / dt, 2),
+        "idle_pct": round(100.0 * (i_b - i_a) / dt, 2),
         "wall_sec": round(wall, 3),
         "n_turns": n_turns,
         "n_triples": n_triples,

@@ -252,6 +252,33 @@ def _w5_topk_per_group(spark, sf_dir):
     )
 
 
+def _f1_page_range(spark, sf_dir):
+    """F1: between-predicate page-range filter, pushed into the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+        & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+
+
+def _u1_union_distinct(spark, sf_dir):
+    """U1: union of three extractor channels + distinct (NER.py:110)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    c = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).unionByName(c).distinct()
+
+
+def _j5_node_attrs(spark, sf_dir):
+    """J5: per-node attribute aggregation (Graph.py:8-13 shape),
+    deterministic sorted join."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("attrs")
+    )
+
+
 def _j2_surname_prefix_join(spark, sf_dir):
     """J2: longest-prefix probe against a small dim via substr equi-joins at
     each prefix length + row_number priority pick (NER.py:261-265 shape)."""
@@ -539,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_topk_per_group": _w5_topk_per_group,
         "a7_last_status": _a7_last_status,
         "j2_surname_prefix_join": _j2_surname_prefix_join,
+        "f1_page_range": _f1_page_range,
+        "u1_union_distinct": _u1_union_distinct,
+        "j5_node_attrs": _j5_node_attrs,
         "w6_first_last_para": _w6_first_last_para,
         "f2_chapter_branch": _f2_chapter_branch,
         "a8_toc_dedup": _a8_toc_dedup,
@@ -667,6 +697,23 @@ def oracle_sql() -> dict[str, str]:
         "a7_last_status": """
             SELECT o_custkey, max_by(o_orderstatus, o_orderkey) AS last_status
             FROM orders GROUP BY o_custkey
+        """,
+        "f1_page_range": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d
+            FROM orders
+            WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+              AND o_totalprice > 100000
+        """,
+        "u1_union_distinct": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              UNION ALL SELECT user_id FROM events WHERE event_type = 'view'
+              UNION ALL SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "j5_node_attrs": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS attrs
+            FROM events GROUP BY user_id
         """,
         "j2_surname_prefix_join": """
             WITH dim(prefix, plen) AS (VALUES ('c',1),('cl',2),('cli',3),('v',1),('vi',2),('s',1),('p',1)),

@@ -97,9 +97,15 @@ def kg_pipeline_run(
     #     entities/CC) run as CONCURRENT jobs from driver threads — their
     #     shared inputs are already cached, so no cache-lock serialization.
     turns, meta = normalize.normalize(tdf)
-    turns = turns.persist()
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    # ONE shuffle+sort of the big table, shared by both python passes
+    turns = (
+        turns.repartition(parts, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .persist()
+    )
     meta = meta.persist()
-    extracted = mentions.extract_people_combined(turns, meta).persist()
+    extracted = mentions.extract_people_combined(turns, meta, pre_sorted=True).persist()
     conv_names, conv_aliases = mentions.split_extracted(extracted)
     people, aliases = mentions.build_registry(conv_names, conv_aliases)
     people = people.persist()
@@ -107,15 +113,12 @@ def kg_pipeline_run(
     surfaces_df = mentions.registry_surfaces(people, aliases)
     index = scan.build_surface_index(surfaces_df)  # action 1 (collect)
     mark("index")
-    fused = stage2.fused_scan_extract(turns, meta, index).persist()
+    fused = stage2.fused_scan_extract(turns, meta, index, pre_sorted=True).persist()
     n_turns = turns.count()
     n_fused = fused.count()  # action 2: materialize the fused pass
     mark("fused")
-    mention_rows = stage2.mention_rows(fused)
     triple_rows = stage2.all_triples_fused(fused, conv_aliases, meta)
-    cooc = cooccurrence.cooccurrence_scores(
-        scan.occurrences(mention_rows), scan.persons_in_conv(mention_rows), meta
-    )
+    cooc = stage2.cooc_scores(fused)
     entities = canonicalize.entity_table(people, aliases)
 
     from concurrent.futures import ThreadPoolExecutor

@@ -60,6 +60,7 @@ def grouped_map(
     order: str = "turn_idx",
     partitions: int | None = None,
     out_rows_per_batch: int = 4096,
+    pre_sorted: bool = False,
 ) -> DataFrame:
     """applyInPandas semantics (``fn`` sees one whole group, returns a
     DataFrame of output rows) at mapInPandas cost. See module docstring.
@@ -67,7 +68,12 @@ def grouped_map(
     Default partition count follows ``spark.sql.shuffle.partitions`` — a
     DATA-size knob, so the same job at different parallelism levels does
     identical work per partition (cluster size changes how many run at
-    once, not how the data is cut)."""
+    once, not how the data is cut).
+
+    ``pre_sorted=True`` asserts the input is already hash-partitioned on
+    ``key`` and sorted by (key, order) within partitions (e.g. a persisted
+    ``repartition(N, key).sortWithinPartitions(key, order)`` shared by
+    several passes) — skips this call's shuffle + sort entirely."""
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
 
@@ -85,6 +91,8 @@ def grouped_map(
         if buf:
             yield pd.concat(buf, ignore_index=True)
 
+    if pre_sorted:
+        return df.mapInPandas(mapper, schema=schema)
     return (
         df.repartition(partitions, key)
         .sortWithinPartitions(key, order)

@@ -36,17 +36,24 @@ def connected_components(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    # Alias graphs are small relative to the corpus (10^1-10^2 bytes per
+    # entity); narrow partitioning keeps each tiny iteration job from
+    # paying 64-task scheduling latency. Checkpoints are lazy — they
+    # materialize inside the next iteration's `changed` count instead of
+    # as their own job (halves the serial job chain of the loop).
+    parts = max(4, min(16, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "16")) // 4))
+    e = e.repartition(parts, "src")
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(eager=False)
 
     labels = (
         sym.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         if salt > 1:
             # two-phase min for hub vertices: salt the neighbor-label stream,
             # take per-(vertex, salt) partial mins, then the final min.
@@ -66,8 +73,13 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        if it == 0:
+            # first propagation always changes something on any non-trivial
+            # graph — skip one convergence-check job
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "vertex")

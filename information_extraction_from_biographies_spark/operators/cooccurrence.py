@@ -95,3 +95,68 @@ def cooccurrence_scores(
     """→ (conv_id, name1, name2, score), name1 < name2."""
     dists = pair_distances(occurrences).unionByName(biographee_priors(persons_in_conv, meta))
     return score_pairs(dists)
+
+
+# ------------------------------------------------- in-UDF per-conv path
+def fold_scores(distances: list[float]) -> float:
+    """The reference's sequential fold (Cooccurrence.py:92-111): sorted
+    ascending; first term full, k-th term depreciated by 0.65^(2^(k-2))."""
+    ds = sorted(distances)
+    if not ds:
+        return 0.0
+    score = DISTANCE2SCORE_FACTOR / ds[0]
+    depre = DEPRECIATE_FACTOR
+    for d in ds[1:]:
+        score += DISTANCE2SCORE_FACTOR / d * depre
+        depre **= 2
+        if depre == 0.0:  # weights underflow; remaining terms are exact zero
+            break
+    return score
+
+
+# 0.65^(2^(k-2)) < 5e-324 (double denormal floor) by k ≈ 12; keeping a few
+# extra is free and guards the exact-parity fold above.
+_TOP_K_DISTANCES = 64
+
+
+def conv_pair_scores(
+    positions_by_person: dict[str, list[int]],
+    biographee: str | None,
+    detected: list[str],
+) -> list[tuple[str, str, float]]:
+    """Per-conversation A3+A4+A2 without any shuffle: pairwise |Δpos|+1
+    distances per unordered person pair + the distance-2 biographee prior,
+    folded with the reference depreciation. Vectorized with numpy per pair
+    so a giant (skewed) conversation stays O(|PA|·|PB|) flops, and only the
+    _TOP_K_DISTANCES smallest distances feed the fold (all later weights
+    underflow to exactly 0.0 in float64).
+
+    Distance note: the reference orders occurrences and uses
+    pos_j - pos_i + 1 for j > i (Cooccurrence.py:68-78); across two
+    different persons that equals |pos_a - pos_b| + 1 for every cross pair,
+    so the unordered cross product is semantics-exact."""
+    import numpy as np
+
+    persons = sorted(positions_by_person)
+    out: list[tuple[str, str, float]] = []
+    prior: dict[tuple[str, str], list[float]] = {}
+    if biographee is not None:
+        for p in detected:
+            if p != biographee:
+                key = (min(p, biographee), max(p, biographee))
+                prior.setdefault(key, []).append(float(DISTANCE_TO_BIOGRAPHEE))
+
+    arrays = {p: np.asarray(positions_by_person[p], dtype=np.int64) for p in persons}
+    pair_dists: dict[tuple[str, str], list[float]] = dict(prior)
+    for i, p1 in enumerate(persons):
+        a = arrays[p1]
+        for p2 in persons[i + 1 :]:
+            b = arrays[p2]
+            d = (np.abs(a[:, None] - b[None, :]) + 1).ravel()
+            if d.size > _TOP_K_DISTANCES:
+                d = np.partition(d, _TOP_K_DISTANCES)[:_TOP_K_DISTANCES]
+            key = (p1, p2) if p1 < p2 else (p2, p1)
+            pair_dists.setdefault(key, []).extend(d.tolist())
+    for (n1, n2), ds in pair_dists.items():
+        out.append((n1, n2, fold_scores(ds)))
+    return out

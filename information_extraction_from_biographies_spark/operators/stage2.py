@@ -27,19 +27,24 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.clauses import split_clauses_with_positions
 from ..functions.extraction import extract_hometown
+from .cooccurrence import conv_pair_scores
 from ..functions.grouped import grouped_map
 from ..functions.matcher import SurfaceIndexHandle, cached_index
 from ..functions.relations import extract_relations_for_conv
 from ..functions.timeline import extract_timeline
 
-_COLS = ["conv_id", "kind", "pos", "a", "b", "c", "source", "year", "start_pos"]
+_COLS = [
+    "conv_id", "kind", "pos", "a", "b", "c", "source", "year", "start_pos", "score",
+]
 _SCHEMA = (
     "conv_id string, kind string, pos int, a string, b string, c string, "
-    "source string, year int, start_pos int"
+    "source string, year int, start_pos int, score double"
 )
 
 
-def fused_scan_extract(turns: DataFrame, meta: DataFrame, index: SurfaceIndexHandle) -> DataFrame:
+def fused_scan_extract(
+    turns: DataFrame, meta: DataFrame, index: SurfaceIndexHandle, pre_sorted: bool = False
+) -> DataFrame:
     """→ tagged-union DataFrame; see module docstring. Persist this and
     split with the accessors below."""
     bc = index.broadcast
@@ -55,28 +60,33 @@ def fused_scan_extract(turns: DataFrame, meta: DataFrame, index: SurfaceIndexHan
         rows: list[tuple] = []
         detected = idx.distinct_persons_in(text)
         for person in detected:
-            rows.append((conv_id, "person", -1, person, None, None, None, None, None))
+            rows.append((conv_id, "person", -1, person, None, None, None, None, None, None))
+        positions_by_person: dict[str, list[int]] = {}
         for clause, pos in split_clauses_with_positions(text):
             for person, surface, _k in idx.persons_in(clause):
-                rows.append((conv_id, "occ", pos, person, surface, None, None, None, None))
+                rows.append((conv_id, "occ", pos, person, surface, None, None, None, None, None))
+                positions_by_person.setdefault(person, []).append(pos)
+        # A3+A4+A2 fold per conversation — no pair shuffle (see cooccurrence)
+        for n1, n2, score in conv_pair_scores(positions_by_person, biographee, detected):
+            rows.append((conv_id, "cooc", None, n1, n2, None, None, None, None, score))
         if biographee is not None:
             person_surfaces = idx.person_surfaces()
             pairs = [(p, s) for p in detected for s in person_surfaces.get(p, [])]
             for s, p, o in sorted(set(extract_relations_for_conv(text, biographee, pairs))):
-                rows.append((conv_id, "triple", None, s, p, o, "verb", None, None))
+                rows.append((conv_id, "triple", None, s, p, o, "verb", None, None, None))
             place = extract_hometown(text)
             if place is not None:
                 rows.append(
-                    (conv_id, "triple", None, biographee, "born-in", place, "born-in", None, None)
+                    (conv_id, "triple", None, biographee, "born-in", place, "born-in", None, None, None)
                 )
         for year, event, start in extract_timeline(text):
-            rows.append((conv_id, "timeline", None, event, None, None, None, year, start))
+            rows.append((conv_id, "timeline", None, event, None, None, None, year, start, None))
         return pd.DataFrame(rows, columns=_COLS)
 
     enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
         F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
-    return grouped_map(enriched, _go, _SCHEMA)
+    return grouped_map(enriched, _go, _SCHEMA, pre_sorted=pre_sorted)
 
 
 # ------------------------------------------------------------- splitters
@@ -102,6 +112,13 @@ def timeline_rows(fused: DataFrame) -> DataFrame:
     """Same shape as triples.timeline_table output."""
     return fused.filter(F.col("kind") == "timeline").select(
         "conv_id", "year", F.col("a").alias("event"), "start_pos"
+    )
+
+
+def cooc_scores(fused: DataFrame) -> DataFrame:
+    """Same shape as cooccurrence.cooccurrence_scores output."""
+    return fused.filter(F.col("kind") == "cooc").select(
+        "conv_id", F.col("a").alias("name1"), F.col("b").alias("name2"), "score"
     )
 
 

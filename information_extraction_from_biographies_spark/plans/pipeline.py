@@ -142,7 +142,6 @@ class Pipeline:
             lambda: stage2.timeline_rows(fused),
             {"stage0_turns": sid},
         )
-        fused.unpersist()
 
         # stage 3
         entities = _materialize(
@@ -151,9 +150,9 @@ class Pipeline:
             {"stage1_people": sid, "stage1_alias_registry": sid},
         )
 
-        # stage 4
-        occ = scan.occurrences(mention_rows)
-        pic = scan.persons_in_conv(mention_rows)
+        # stage 4 — co-occurrence comes from the fused per-conv fold
+        # (cooccurrence.conv_pair_scores); the relational A2/A3 operators
+        # stay available for ad-hoc queries over materialized mentions.
         nodes = _materialize(
             "nodes",
             lambda: graph.nodes_table(people, alias_reg, entities),
@@ -166,7 +165,7 @@ class Pipeline:
         )
         cooc = _materialize(
             "cooccurrence",
-            lambda: cooccurrence.cooccurrence_scores(occ, pic, meta),
+            lambda: stage2.cooc_scores(fused),
             {"stage2_mentions": sid},
         )
         timeline = _materialize(
@@ -174,6 +173,7 @@ class Pipeline:
             lambda: graph.timeline_final(timeline_rows),
             {"stage2_timeline": sid},
         )
+        fused.unpersist()
 
         return PipelineResult(
             tables={

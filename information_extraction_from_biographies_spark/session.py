@@ -75,6 +75,13 @@ def get_spark(
     # thrash at local[32] (measured 53s -> 18s on the verb stage by raising
     # it). On a cluster this is the per-executor memory knob instead.
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    # Shuffle/spill files on tmpfs when available: the sandbox VM's virtio
+    # disk serializes shuffle-heavy stages; RAM-backed local dirs take the
+    # block device off the critical path (a cluster would use local NVMe).
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", shm))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

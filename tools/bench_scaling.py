@@ -30,13 +30,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "20000"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "40000"))
 CAREER_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "8"))
-# N and 4N parallelism. Default 4→16 rather than 8→32: measured per-core
-# throughput in this VM drops ~20% when all 32 vCPUs are loaded (thermal /
-# host-share), and memory bandwidth saturates earlier — 4→16 keeps the
-# comparison about the ENGINE's scaling, not the sandbox's ceiling.
-BASE_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+# N and 4N parallelism, each run PINNED to exactly that many CPUs with
+# taskset (the faithful proxy for an N-core executor host: an unpinned
+# local[N] leaks JVM GC / shuffle-writer / python-worker parallelism onto
+# idle cores, flattering the small side). Default pair 2→8 rather than
+# 8→32: this VM's memory bandwidth saturates near 16 concurrent
+# data-moving threads and per-core throughput drops ~20% with all 32
+# vCPUs loaded — above that the measurement reflects the sandbox's
+# ceiling, not the engine's scaling.
+BASE_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+PIN_CPUS = os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1"
 TRANSCRIPTS = f"/tmp/kg_scaling_transcripts_{N_CONVS}_r{CAREER_REPS}"
 
 
@@ -98,8 +103,11 @@ def main() -> None:
     results = {}
     for t in range(trials):
         for cores in (BASE_CORES, 4 * BASE_CORES):
+            cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
+            if PIN_CPUS:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cores", str(cores)],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=REPO,
@@ -123,6 +131,8 @@ def main() -> None:
     summary = {
         "n_convs": N_CONVS,
         "career_reps": CAREER_REPS,
+        "cpu_pinned": PIN_CPUS,
+        "trials": trials,
         "n_turns": results[4 * BASE_CORES]["n_turns"],
         f"local{BASE_CORES}": results[BASE_CORES],
         f"local{4 * BASE_CORES}": results[4 * BASE_CORES],

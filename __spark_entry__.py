@@ -484,6 +484,41 @@ def _ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _embedding_near_dup(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dup(emb, threshold=0.25, bits=4).select(
+        "vec1", "vec2", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, q, k=5).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _mm_resize(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators import multimodal as mm
+
+    return mm.resize_images(mm.synth_media(spark, n=48)).select(
+        "media_id", F.length("payload").alias("n_bytes")
+    )
+
+
 def _text_quality(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators.textstats import quality_score
 
@@ -584,12 +619,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "embedding_near_dup": _embedding_near_dup,
         "text_quality": _text_quality,
         "text_lang_scores": _text_lang_scores,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
         # multimodal plumbing (binary columns; rows-only)
         "mm_image_features": _mm_image_features,
+        "mm_resize": _mm_resize,
         "mm_frame_sample": _mm_frame_sample,
         "mm_audio_features": _mm_audio_features,
     }
@@ -600,6 +638,30 @@ def _stopword_count_sql(words: list[str]) -> str:
         f"(len(string_split_regex(' ' || lower(text) || ' ', '\\s{w}\\s')) - 1)" for w in words
     ]
     return " + ".join(terms)
+
+
+def _near_dup_sql() -> str:
+    """LSH-blocked near-dup with the SAME hyperplanes as the Spark side
+    (generated as literals so DuckDB blocks identically)."""
+    from information_extraction_from_biographies_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4, 13)
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+          FROM embeddings)
+        SELECT l.vec_id AS vec1, r.vec_id AS vec2,
+               round(list_cosine_similarity(l.e, r.e), 6) AS cosine
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE list_cosine_similarity(l.e, r.e) >= 0.25
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -822,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
+        "embedding_near_dup": _near_dup_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    length(text) AS n_chars,

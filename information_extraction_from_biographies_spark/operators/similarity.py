@@ -82,3 +82,98 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.9, bits: int = 6, dim: int = 64, seed: int = 13
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join blocks
+    the candidate set (same sign-bit bucket), exact cosine verifies.
+    → (vec1, vec2, cosine), vec1 < vec2, cosine >= threshold.
+
+    Recall/coverage note: single-table LSH misses near-dups straddling a
+    hyperplane; production uses multiple tables (union over seeds) — the
+    engine shape is unchanged, so one table keeps the oracle exact over
+    the blocked set."""
+    planes = hyperplanes(dim, bits, seed)
+    b = embeddings.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    left = b.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"), "bucket")
+    right = b.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", cosine_expr(F.col("e1"), F.col("e2")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8, iters: int = 3) -> list[list[float]]:
+    """Deterministic mini-Lloyd: init = lowest-id vectors, refine with
+    groupBy-mean over assignments (each iteration = one shuffle). Driver
+    holds only k×dim floats."""
+    init = [
+        list(r["embedding"])
+        for r in embeddings.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    cents = init
+    for _ in range(iters):
+        assigned = embeddings.withColumn("c", _nearest_centroid_expr(F.col("embedding"), cents))
+        dim = len(cents[0])
+        means = assigned.groupBy("c").agg(
+            *[F.avg(F.col("embedding")[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        got = {int(r["c"]): [r[f"m{i}"] for i in range(dim)] for r in means.collect()}
+        cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
+    """argmin_c ||v - c||² as a column expression (equivalently max of
+    dot - ½||c||² since ||v|| is constant per row)."""
+    best_id = F.lit(0)
+    best_score = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        score = _dot(vec_col, carr) - F.lit(sum(x * x for x in c) / 2.0)
+        if best_score is None:
+            best_score = score
+        else:
+            better = score > best_score
+            best_id = F.when(better, F.lit(i)).otherwise(best_id)
+            best_score = F.when(better, score).otherwise(best_score)
+    return best_id
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: partition vectors by nearest centroid; a query probes only
+    its nprobe closest inverted lists, exact cosine within them. The scale
+    path when the corpus dwarfs memory: lists are partition-pruned scans."""
+    cents = ivf_centroids(embeddings, n_centroids)
+    inv = embeddings.withColumn("c", _nearest_centroid_expr(F.col("embedding"), cents))
+
+    import numpy as np
+
+    carr = np.asarray(cents, dtype=float)
+
+    def probes_for(qv):
+        d = ((carr - np.asarray(qv, dtype=float)) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    q_rows = queries.collect()  # query set is small/broadcast-sized by contract
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(
+        [(r["query_id"], list(r["query_vec"]), c) for r in q_rows for c in probes_for(r["query_vec"])],
+        "query_id long, query_vec array<double>, c int",
+    )
+    joined = inv.join(F.broadcast(probe_df), "c")
+    scored = joined.select(
+        "query_id", "vec_id", cosine_expr(F.col("query_vec"), F.col("embedding")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

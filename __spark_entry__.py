@@ -512,6 +512,10 @@ def _ann_ivf_topk(spark, sf_dir):
 
 
 def _mm_resize(spark, sf_dir):
+    """Oracle-able on the relational surface: the 4x4 nearest-neighbour
+    resize always emits 16 raw bytes per image row, and synth_media's kind
+    is a deterministic function of the row index (image = i%3==0), so
+    DuckDB mirrors (media_id, n_bytes) from range(0,48)."""
     from information_extraction_from_biographies_spark.operators import multimodal as mm
 
     return mm.resize_images(mm.synth_media(spark, n=48)).select(
@@ -558,18 +562,36 @@ def _cc_components(spark, sf_dir):
 
 
 def _mm_image_features(spark, sf_dir):
+    """Rows-only by design: features derive from the binary payload (the
+    deterministic FakeCodec byte stream), which SQL cannot reproduce.
+    ``histo8`` is serialized to a comma string so the driver's canonical
+    row sort/hash works (arrays are unhashable in pandas)."""
     from information_extraction_from_biographies_spark.operators import multimodal as mm
 
-    return mm.image_features(mm.synth_media(spark, n=48))
+    feats = mm.image_features(mm.synth_media(spark, n=48))
+    return feats.select(
+        "media_id",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+        F.array_join(F.col("histo8").cast("array<string>"), ",").alias("histo8"),
+    )
 
 
 def _mm_frame_sample(spark, sf_dir):
+    """Oracle-able: frame sampling is pure relational (sequence+explode) and
+    synth_media's metadata is a deterministic function of the row index
+    (kind = [image,audio,video][i%3], n_frames = 10+i%4), so DuckDB
+    regenerates it from range(0,48) without seeing the binary payloads."""
     from information_extraction_from_biographies_spark.operators import multimodal as mm
 
-    return mm.frame_sample(mm.synth_media(spark, n=48))
+    return mm.frame_sample(mm.synth_media(spark, n=48)).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
 
 
 def _mm_audio_features(spark, sf_dir):
+    """Rows-only by design: rms derives from the binary payload bytes
+    (np.random.RandomState stream), which SQL cannot reproduce."""
     from information_extraction_from_biographies_spark.operators import multimodal as mm
 
     return mm.audio_features(mm.synth_media(spark, n=48)).select(
@@ -912,5 +934,18 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
             FROM documents
+        """,
+        # synth_media metadata is a pure function of the row index (see
+        # multimodal.synth_media): kind = [image,audio,video][i%3],
+        # n_frames = 10 + i%4 (video).  DuckDB regenerates it from range().
+        "mm_frame_sample": """
+            SELECT i AS media_id, CAST(f AS INT) AS frame_idx
+            FROM range(0, 48) t(i),
+                 LATERAL unnest(generate_series(0, CAST(10 + i % 4 - 1 AS BIGINT), 3)) u(f)
+            WHERE i % 3 = 2
+        """,
+        "mm_resize": """
+            SELECT i AS media_id, 16 AS n_bytes
+            FROM range(0, 48) t(i) WHERE i % 3 = 0
         """,
     }

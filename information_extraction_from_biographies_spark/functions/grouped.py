@@ -33,8 +33,28 @@ def iter_key_groups(
     batches: Iterator[pd.DataFrame], key: str = "conv_id"
 ) -> Iterator[pd.DataFrame]:
     """Iterate contiguous key-groups across an Arrow batch stream (input
-    must be sorted by ``key`` within the partition)."""
+    must be sorted by ``key`` within the partition).
+
+    Guard: a key that reappears after its group was closed means the input
+    was NOT sorted/partitioned as promised (e.g. a ``pre_sorted=True``
+    caller whose upstream plan changed under AQE) — that would silently
+    fragment one conversation into several groups and corrupt per-conv
+    results, so it raises instead. Cost: one set-add + one lookup per
+    group."""
     pending: pd.DataFrame | None = None
+    closed: set = set()
+
+    def _close_and_yield(frame: pd.DataFrame):
+        for k, g in frame.groupby(key, sort=False):
+            if k in closed:
+                raise RuntimeError(
+                    f"iter_key_groups: key {k!r} recurred non-contiguously — "
+                    f"input is not sorted by {key!r} within the partition "
+                    "(pre_sorted contract violated)"
+                )
+            closed.add(k)
+            yield g
+
     for pdf in batches:
         if pending is not None and len(pending):
             pdf = pd.concat([pending, pdf], ignore_index=True)
@@ -45,11 +65,9 @@ def iter_key_groups(
         pending = pdf[mask]
         work = pdf[~mask]
         if len(work):
-            for _, g in work.groupby(key, sort=False):
-                yield g
+            yield from _close_and_yield(work)
     if pending is not None and len(pending):
-        for _, g in pending.groupby(key, sort=False):
-            yield g
+        yield from _close_and_yield(pending)
 
 
 def grouped_map(

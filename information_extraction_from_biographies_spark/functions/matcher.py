@@ -13,7 +13,7 @@ UDF closure, so each executor pays construction once per task set.
 from __future__ import annotations
 
 import uuid
-from collections import deque
+from collections import OrderedDict, deque
 
 
 class AhoCorasick:
@@ -164,17 +164,22 @@ class SurfaceIndexHandle:
         return self._local
 
 
-_WORKER_INDEX_CACHE: dict[str, SurfaceIndex] = {}
+_WORKER_INDEX_CACHE: "OrderedDict[str, SurfaceIndex]" = OrderedDict()
+_WORKER_INDEX_CACHE_MAX = 4
 
 
 def cached_index(broadcast) -> SurfaceIndex:
     """Worker-side: build-or-fetch the automaton for a broadcast handle.
-    Survives across tasks via python worker reuse."""
+    Survives across tasks via python worker reuse. LRU eviction (oldest
+    first, never the version being requested) so >4 live broadcast handles
+    sharing a worker pool don't thrash full rebuilds."""
     version, rows = broadcast.value
     idx = _WORKER_INDEX_CACHE.get(version)
     if idx is None:
-        if len(_WORKER_INDEX_CACHE) > 4:  # old pipeline versions
-            _WORKER_INDEX_CACHE.clear()
+        while len(_WORKER_INDEX_CACHE) >= _WORKER_INDEX_CACHE_MAX:
+            _WORKER_INDEX_CACHE.popitem(last=False)  # least recently used
         idx = SurfaceIndex(rows)
         _WORKER_INDEX_CACHE[version] = idx
+    else:
+        _WORKER_INDEX_CACHE.move_to_end(version)
     return idx

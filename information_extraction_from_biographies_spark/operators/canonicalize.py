@@ -30,19 +30,25 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     salt: int = 0,
+    partitions: int | None = None,
 ) -> DataFrame:
     """→ (vertex, component). ``edges`` is undirected input (one row per
     edge, either orientation)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    # Alias graphs are small relative to the corpus (10^1-10^2 bytes per
-    # entity); narrow partitioning keeps each tiny iteration job from
-    # paying 64-task scheduling latency. Checkpoints are lazy — they
-    # materialize inside the next iteration's `changed` count instead of
-    # as their own job (halves the serial job chain of the loop).
-    parts = max(4, min(16, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "16")) // 4))
-    e = e.repartition(parts, "src")
+    # Iteration parallelism scales with the edge-set size (input partition
+    # count is the data-size proxy — no extra job), floored at 4 so tiny
+    # alias graphs don't pay 64-task scheduling latency per iteration and
+    # capped at the session's shuffle parallelism. A 10^12-turn entity
+    # graph arrives in many input partitions and keeps them; callers with
+    # better knowledge pass ``partitions`` explicitly. Checkpoints are
+    # lazy — they materialize inside the next iteration's `changed` count
+    # instead of as their own job (halves the serial job chain of the loop).
+    if partitions is None:
+        shuffle_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "16"))
+        partitions = max(4, min(shuffle_parts, edges.rdd.getNumPartitions()))
+    e = e.repartition(partitions, "src")
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint(eager=False)
 

@@ -37,6 +37,28 @@ _SQL_CONF = {
 }
 
 
+def _host_ram_gb() -> float:
+    """Physical RAM in GiB from /proc/meminfo (0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
+def _shm_free_gb() -> float:
+    """Free space on /dev/shm in GiB (0 if absent)."""
+    try:
+        import shutil
+
+        return shutil.disk_usage("/dev/shm").free / (1 << 30)
+    except OSError:
+        return 0.0
+
+
 def get_spark(
     app_name: str = "kg-construct",
     master: str | None = None,
@@ -71,14 +93,26 @@ def get_spark(
         builder = builder.config(k, v)
     # Keep the driver/UI quiet and deterministic in the sandbox.
     builder = builder.config("spark.ui.enabled", "false")
-    # Heap sized for 32 concurrent tasks: at 8g the cold shuffle stages GC-
-    # thrash at local[32] (measured 53s -> 18s on the verb stage by raising
-    # it). On a cluster this is the per-executor memory knob instead.
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-    # Shuffle/spill files on tmpfs when available: the sandbox VM's virtio
-    # disk serializes shuffle-heavy stages; RAM-backed local dirs take the
-    # block device off the critical path (a cluster would use local NVMe).
-    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+    # Heap derived from host RAM (~40%, clamped to [4g, 48g]) rather than a
+    # fixed figure: at 8g the cold shuffle stages GC-thrash at local[32]
+    # (measured 53s -> 18s on the verb stage by raising it), while a fixed
+    # 48g would OOM library consumers on small hosts. On a cluster this is
+    # the per-executor memory knob instead.
+    heap = os.environ.get("SPARK_DRIVER_MEMORY")
+    if heap is None:
+        heap = f"{max(4, min(48, int(_host_ram_gb() * 0.4)))}g"
+    builder = builder.config("spark.driver.memory", heap)
+    # Shuffle/spill files on tmpfs when it is safely large: the sandbox VM's
+    # virtio disk serializes shuffle-heavy stages; RAM-backed local dirs
+    # take the block device off the critical path (a cluster would use
+    # local NVMe). tmpfs competes with the JVM heap for physical RAM, so
+    # only use it when /dev/shm has generous headroom (>= 16 GiB free);
+    # opt out entirely with SPARK_GRAFT_TMPFS=0.
+    if (
+        os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0"
+        and "spark.local.dir" not in (extra_conf or {})
+        and _shm_free_gb() >= 16
+    ):
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", shm))

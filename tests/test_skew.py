@@ -56,3 +56,40 @@ def test_skewed_conv_completes_with_correct_structure(spark):
     giant_scores = [r.score for r in cooc.filter(cooc.conv_id == giant).collect()]
     assert all(s > 0 and s == s for s in giant_scores)  # no NaN/inf blowup
     cooc.unpersist()
+
+
+def test_iter_key_groups_raises_on_non_contiguous_key():
+    """pre_sorted contract guard: a key recurring after its group closed
+    (unsorted/mis-partitioned input) must raise, not silently fragment."""
+    import pandas as pd
+    import pytest
+
+    from information_extraction_from_biographies_spark.functions.grouped import iter_key_groups
+
+    def batches(frames):
+        return iter([pd.DataFrame(f) for f in frames])
+
+    # sorted input: fine, groups stay whole across batch boundaries
+    ok = list(
+        iter_key_groups(
+            batches([
+                {"conv_id": ["a", "a", "b"], "x": [1, 2, 3]},
+                {"conv_id": ["b", "c"], "x": [4, 5]},
+            ]),
+            key="conv_id",
+        )
+    )
+    assert [g["conv_id"].iloc[0] for g in ok] == ["a", "b", "c"]
+    assert [len(g) for g in ok] == [2, 2, 1]
+
+    # key 'a' recurs after 'b' closed it out -> fragmentation -> raise
+    with pytest.raises(RuntimeError, match="recurred non-contiguously"):
+        list(
+            iter_key_groups(
+                batches([
+                    {"conv_id": ["a", "b"], "x": [1, 2]},
+                    {"conv_id": ["a", "c"], "x": [3, 4]},
+                ]),
+                key="conv_id",
+            )
+        )

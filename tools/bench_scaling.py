@@ -3,12 +3,19 @@ to 4N executors).
 
 A real multi-executor cluster is unavailable in this sandbox, so the
 criterion is evidenced by running the IDENTICAL job at two parallelism
-levels on the SAME materialized input:
+levels on the SAME materialized input (defaults; see BASE_CORES):
 
-    local[8]  (N)    vs    local[32]  (4N)
+    taskset 0-1 local[2]  (N)    vs    taskset 0-7 local[8]  (4N)
 
 throughput T = triples/sec over the end-to-end KG pipeline (stages 0-4);
-efficiency = T(32) / (4 * T(8)).
+efficiency = T(4N) / (4 * T(N)).
+
+Trial policy (matches BENCH/BASELINE.md): SPARK_GRAFT_SCALING_TRIALS
+alternating N/4N trials (default 2); trials whose /proc/stat steal
+exceeds 1% are DISCARDED (noisy-neighbor interference); each level keeps
+its best remaining throughput (least-interference estimate). If every
+trial at a level is steal-contaminated the best contaminated one is used
+and flagged `steal_fallback` in the summary.
 
 Each level runs in its own subprocess (a SparkSession's master is fixed
 for the JVM's lifetime). Usage:
@@ -99,8 +106,9 @@ def main() -> None:
     # The sandbox host is SHARED and noisy (2-4x run-to-run variance
     # observed); alternate levels and keep each level's best (max
     # throughput = least-interference estimate).
-    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
-    results = {}
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    max_steal_pct = float(os.environ.get("SPARK_GRAFT_SCALING_MAX_STEAL", "1.0"))
+    all_trials: list[dict] = []
     for t in range(trials):
         for cores in (BASE_CORES, 4 * BASE_CORES):
             cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
@@ -121,21 +129,33 @@ def main() -> None:
                 raise SystemExit(f"measurement at {cores} cores failed")
             r = json.loads(line[len("RESULT "):])
             r["trial"] = t
+            r["steal_discarded"] = r["steal_pct"] > max_steal_pct
             print(f"trial {t} cores {cores}: {r['wall_sec']}s "
-                  f"{r['triples_per_sec']} triples/s", file=sys.stderr)
-            if cores not in results or r["triples_per_sec"] > results[cores]["triples_per_sec"]:
-                results[cores] = r
+                  f"{r['triples_per_sec']} triples/s steal {r['steal_pct']}%"
+                  + (" DISCARDED" if r["steal_discarded"] else ""), file=sys.stderr)
+            all_trials.append(r)
 
-    t_n = results[BASE_CORES]["triples_per_sec"]
-    t_4n = results[4 * BASE_CORES]["triples_per_sec"]
+    def _best(cores: int) -> tuple[dict, bool]:
+        mine = [r for r in all_trials if r["cores"] == cores]
+        clean = [r for r in mine if not r["steal_discarded"]]
+        pool, fallback = (clean, False) if clean else (mine, True)
+        return max(pool, key=lambda r: r["triples_per_sec"]), fallback
+
+    best_n, fb_n = _best(BASE_CORES)
+    best_4n, fb_4n = _best(4 * BASE_CORES)
+    t_n = best_n["triples_per_sec"]
+    t_4n = best_4n["triples_per_sec"]
     summary = {
         "n_convs": N_CONVS,
         "career_reps": CAREER_REPS,
         "cpu_pinned": PIN_CPUS,
         "trials": trials,
-        "n_turns": results[4 * BASE_CORES]["n_turns"],
-        f"local{BASE_CORES}": results[BASE_CORES],
-        f"local{4 * BASE_CORES}": results[4 * BASE_CORES],
+        "max_steal_pct": max_steal_pct,
+        "steal_fallback": fb_n or fb_4n,
+        "n_turns": best_4n["n_turns"],
+        f"local{BASE_CORES}": best_n,
+        f"local{4 * BASE_CORES}": best_4n,
+        "all_trials": all_trials,
         "scaling_efficiency": round(t_4n / (4 * t_n), 3),
         "target": 0.8,
     }

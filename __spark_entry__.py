@@ -438,22 +438,28 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _dedup_minhash_lsh(spark, sf_dir):
+    """One-pass MinHash+LSH near-dup: k min-hashes + shingle-hash sets in
+    a single numpy pass per doc, banded candidate join with per-bucket
+    cap, exact-Jaccard verify on the blocked set. Every hash is the
+    SQL-mirrorable polynomial family (functions/hashing.py), so the
+    DuckDB oracle reproduces the values bit-for-bit."""
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=5)
-    sig = dedup.minhash_signatures(sh, num_hashes=32)
-    cand = dedup.lsh_candidate_pairs(sig, bands=8)
-    return dedup.ngram_jaccard_pairs(sh, cand, threshold=0.5).select(
-        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
-    )
+    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32).persist()
+    cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
+    return dedup.jaccard_verify(
+        profiles, cand, threshold=0.5, broadcast_sets=True
+    ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _dedup_simhash(spark, sf_dir):
+    """60-bit SimHash (pure column expressions, md5-derived token hash)
+    with chunk-blocked hamming pairs — oracled exactly in DuckDB."""
     from information_extraction_from_biographies_spark.operators import dedup
 
     sim = dedup.simhash(_t(spark, sf_dir, "documents"))
-    return dedup.simhash_near_pairs(sim, max_hamming=6)
+    return dedup.simhash_near_pairs(sim, max_hamming=6, cap=1000)
 
 
 def _ann_cosine_topk(spark, sf_dir):
@@ -662,19 +668,24 @@ def _stopword_count_sql(words: list[str]) -> str:
     return " + ".join(terms)
 
 
-def _near_dup_sql() -> str:
-    """LSH-blocked near-dup with the SAME hyperplanes as the Spark side
-    (generated as literals so DuckDB blocks identically)."""
-    from information_extraction_from_biographies_spark.operators.similarity import hyperplanes
-
-    planes = hyperplanes(64, 4, 13)
+def _hyperplane_bucket_sql(planes) -> str:
+    """Sign-bit LSH bucket id over literal hyperplanes — identical planes
+    (same seed) ship to Spark and DuckDB so both block identically."""
     bucket_terms = []
     for i, p in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
         bucket_terms.append(
             f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 THEN {1 << i} ELSE 0 END)"
         )
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms)
+
+
+def _near_dup_sql() -> str:
+    """LSH-blocked near-dup with the SAME hyperplanes as the Spark side
+    (generated as literals so DuckDB blocks identically)."""
+    from information_extraction_from_biographies_spark.operators.similarity import hyperplanes
+
+    bucket = _hyperplane_bucket_sql(hyperplanes(64, 4, 13))
     return f"""
         WITH b AS (
           SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
@@ -683,6 +694,143 @@ def _near_dup_sql() -> str:
                round(list_cosine_similarity(l.e, r.e), 6) AS cosine
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE list_cosine_similarity(l.e, r.e) >= 0.25
+    """
+
+
+def _lsh_topk_sql(k: int = 5, bits: int = 6) -> str:
+    """LSH top-k ANN oracle: identical hyperplane literals, bucket join,
+    exact cosine + rank within bucket (mirrors similarity.lsh_topk)."""
+    from information_extraction_from_biographies_spark.operators.similarity import hyperplanes
+
+    bucket = _hyperplane_bucket_sql(hyperplanes(64, bits, 13))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, b.vec_id,
+                 list_cosine_similarity(q.qe, b.e) AS c
+          FROM b JOIN q ON b.bucket = q.bucket)
+        SELECT query_id, vec_id, round(c, 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _minhash_lsh_sql(
+    n: int = 5, num_hashes: int = 32, bands: int = 8, cap: int = 1000, threshold: float = 0.5
+) -> str:
+    """Full MinHash+LSH chain in DuckDB: same polynomial shingle hash,
+    same (a_i, b_i) minwise literals, same band buckets, same cap, same
+    Jaccard — mirrors dedup.minhash_profiles → lsh_candidate_pairs →
+    jaccard_verify value-for-value."""
+    from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+
+    a, b = H.minhash_params(num_hashes)
+    wh = H.window_hash_sql("text", "pos", n)
+    mins = ",\n                 ".join(
+        f"min(({int(a[i])}::BIGINT * h + {int(b[i])}) % {H.P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_selects = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {band} AS band, concat_ws(':', "
+        + ", ".join(f"h{band * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for band in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, {wh} AS h
+          FROM documents,
+               LATERAL unnest(generate_series(1, CAST(length(text) AS BIGINT) - {n - 1})) t(pos)
+        ),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS (
+          {band_selects}
+        ),
+        capped AS (
+          SELECT * FROM banded
+          QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= {cap}
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ),
+        sets AS (SELECT doc_id, list(h) AS shl FROM sh GROUP BY doc_id)
+        SELECT doc1, doc2, round(j, 6) AS jaccard FROM (
+          SELECT doc1, doc2,
+                 len(list_intersect(s1.shl, s2.shl))
+                 / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) AS j
+          FROM cand JOIN sets s1 ON cand.doc1 = s1.doc_id
+                    JOIN sets s2 ON cand.doc2 = s2.doc_id)
+        WHERE j >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
+    """60-bit SimHash chain in DuckDB: same md5-derived token hash, same
+    bit votes, same 15-bit chunk blocking + cap, same hamming verify."""
+    from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+
+    th = H.tok_hash60_sql("tok")
+    votes = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(60)
+    )
+    shexpr = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN {1 << bit}::BIGINT ELSE 0::BIGINT END)" for bit in range(60)
+    )
+    chunk_keys = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, simhash, {c} AS band, "
+        f"CAST((simhash >> {c * 15}) & 32767 AS VARCHAR) AS k FROM sh"
+        for c in range(4)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents) WHERE tok <> ''
+        ),
+        th AS (SELECT doc_id, {th} AS h FROM toks),
+        votes AS (SELECT doc_id, {votes}
+                  FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id, ({shexpr}) AS simhash FROM votes),
+        keyed AS (
+          {chunk_keys}
+        ),
+        capped AS (
+          SELECT * FROM keyed
+          QUALIFY row_number() OVER (PARTITION BY band, k ORDER BY doc_id) <= {cap}
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+                          l.simhash AS s1, r.simhash AS s2
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.k = r.k AND l.doc_id < r.doc_id
+        )
+        SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+    """
+
+
+def _fingerprint_sql(window: int = 16) -> str:
+    """Winnowing fingerprint in DuckDB: min of the same polynomial window
+    hashes (whole-string fold for short texts) — mirrors
+    textstats.fingerprint exactly (same MOD/BASE)."""
+    from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+
+    wh = H.window_hash_sql("d.text", "pos", window)
+    pf = H.prefix_hash_sql("d.text", window)
+    return f"""
+        SELECT d.doc_id,
+               CAST(CASE WHEN length(d.text) < {window} THEN {pf}
+                    ELSE (SELECT min({wh})
+                          FROM unnest(generate_series(1, CAST(length(d.text) AS BIGINT) - {window - 1})) t(pos))
+               END AS BIGINT) AS fingerprint
+        FROM documents d
     """
 
 
@@ -907,6 +1055,10 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "embedding_near_dup": _near_dup_sql(),
+        "ann_lsh_topk": _lsh_topk_sql(k=5, bits=6),
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "text_fingerprint": _fingerprint_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -64,34 +64,29 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
-    """Winnowing-style document fingerprint: min of rolling polynomial
-    hashes over char windows — pandas UDF (order-sensitive)."""
-    MOD = (1 << 61) - 1
-    BASE = 257
+    """Winnowing-style document fingerprint: min of polynomial hashes over
+    all char windows (mod 2^31−1 — every product fits int64, so the whole
+    kernel is one numpy sliding-window matmul per document instead of the
+    round-1 per-character Python loop; same hash family as
+    functions/hashing.py, so the DuckDB oracle reproduces it exactly).
+    Texts shorter than the window hash as one whole-string fold."""
+    import numpy as np
+
+    from ..functions import hashing as H  # noqa: N812
+
+    coeffs = np.asarray(H.poly_coeffs(window), dtype=np.int64)
 
     def _fp(batches):
         for pdf in batches:
             ids, fps = [], []
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                s = str(text)
-                if len(s) < window:
-                    h = 0
-                    for ch in s:
-                        h = (h * BASE + ord(ch)) % MOD
-                    ids.append(did)
-                    fps.append(h)
-                    continue
-                h = 0
-                power = pow(BASE, window, MOD)  # weight of the char leaving the window
-                best = None
-                for i, ch in enumerate(s):
-                    h = (h * BASE + ord(ch)) % MOD
-                    if i >= window:
-                        h = (h - ord(s[i - window]) * power) % MOD
-                    if i >= window - 1:
-                        best = h if best is None or h < best else best
+                cps = H.codepoints(str(text))
+                if len(cps) < window:
+                    fp = H.prefix_hash(cps)
+                else:
+                    fp = int(H.window_hashes(cps, window, coeffs).min())
                 ids.append(did)
-                fps.append(best)
+                fps.append(fp)
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
     return docs.select("doc_id", text_col).mapInPandas(_fp, schema="doc_id long, fingerprint long")

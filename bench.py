@@ -146,6 +146,46 @@ def kg_pipeline_run(
     return wall, n_triples, n_turns, n_cooc, n_entities
 
 
+def _vs_prev(queries: dict[str, float], sf: float, threshold: float = 1.3) -> dict:
+    """Regression diff against the newest BENCH_r{N}.json in the repo
+    root: per-query ratio (this/prev) for shared queries, flagging
+    anything over ``threshold`` — the previous round's numbers are the
+    regression baseline. Skipped when the scale factors differ."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {"baseline": None}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev_doc = json.load(f)
+        # the driver wraps bench output: {"sf", "parsed": {<bench json>}, ...}
+        if "parsed" in prev_doc and isinstance(prev_doc["parsed"], dict):
+            prev_doc = {**prev_doc["parsed"], "sf": prev_doc.get("sf", prev_doc["parsed"].get("sf"))}
+        prev = prev_doc.get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {"baseline": None}
+    if prev_doc.get("sf") != sf:
+        return {"baseline": f"r{n:02d}", "skipped": f"sf mismatch ({prev_doc.get('sf')} vs {sf})"}
+    ratios = {
+        name: round(queries[name] / prev[name], 2)
+        for name in queries
+        if name in prev and prev[name] > 0
+    }
+    return {
+        "baseline": f"r{n:02d}",
+        "ratios": ratios,
+        "regressions": sorted(q for q, r in ratios.items() if r > threshold),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -181,6 +221,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "vs_prev": _vs_prev(queries, sf),
                 "sf": sf,
                 "kg": {
                     "n_convs": n_convs,

@@ -339,6 +339,47 @@ def rule_ner_names(text: str) -> set:
     return names
 
 
+# ---------------------------------------------------------------- N1 -----
+# Dictionary-segmentation name channel: the reference augments jieba with
+# user dictionaries whose entries are tagged nr (Biographee-Names /
+# Appendix-Names, NER.py:8-10) and keeps every nr token from segmentation
+# (NER.py:132-139) — names are recalled from the dictionary even with no
+# trigger-window context around them. The hermetic equivalent: greedy
+# longest-match segmentation over the user dictionary; a matched word
+# consumes its span (segmentation, not substring search).
+
+
+def build_name_dict_index(words) -> dict[str, list[str]]:
+    """First-char-bucketed, longest-first index over user-dict names —
+    build once per run, share across conversations."""
+    index: dict[str, list[str]] = {}
+    for w in words or ():
+        if w:
+            index.setdefault(w[0], []).append(w)
+    for bucket in index.values():
+        bucket.sort(key=len, reverse=True)
+    return index
+
+
+def segment_names(text: str, dict_index: dict[str, list[str]]) -> set:
+    """N1: nr tokens from dictionary segmentation (longest match wins,
+    match consumes its span)."""
+    names: set = set()
+    i, n = 0, len(text)
+    while i < n:
+        hit = None
+        for w in dict_index.get(text[i], ()):
+            if text.startswith(w, i):
+                hit = w
+                break
+        if hit is not None:
+            names.add(hit)
+            i += len(hit)
+        else:
+            i += 1
+    return names
+
+
 # ------------------------------------------------------------- F3-F5 -----
 def process_and_filter_names(names: set) -> set:
     """Name sanity filter + surname acceptance + substring-dominance dedup
@@ -416,12 +457,19 @@ def extract_hometown(text: str) -> str | None:
 
 
 # --------------------------------------------------------------- glue ----
-def extract_names_from_conv(text: str, biographee: str | None) -> tuple[set, set]:
+def extract_names_from_conv(
+    text: str, biographee: str | None, user_dict_index: dict | None = None
+) -> tuple[set, set]:
     """Stage-1 per-conversation extraction (NER.py:98-129): union the
-    channels, filter, keep alias tuples whose name survived."""
+    channels (N1 dictionary segmentation ∪ N2 rule NER ∪ N3 kinship),
+    filter, keep alias tuples whose name survived. ``user_dict_index``:
+    a ``build_name_dict_index`` result (the N1 user dictionary,
+    NER.py:8-10); None disables the channel."""
     names: set = set()
     if biographee:
         names.add(biographee)
+    if user_dict_index:
+        names |= segment_names(text, user_dict_index)
     names |= rule_ner_names(text)
     kin_names: set = set()
     kin_tuples: set = set()

@@ -163,6 +163,90 @@ class SurfaceIndexHandle:
             self._local = SurfaceIndex(self.rows)
         return self._local
 
+    def worker_getter(self):
+        """Picklable worker-side index accessor (see _BroadcastGetter)."""
+        return _BroadcastGetter(self.broadcast)
+
+
+class _BroadcastGetter:
+    """Closure-safe accessor: broadcast handle in, cached automaton out."""
+
+    def __init__(self, broadcast) -> None:
+        self._broadcast = broadcast
+
+    def __call__(self) -> "SurfaceIndex":
+        return cached_index(self._broadcast)
+
+
+class FileSurfaceIndexHandle:
+    """Registry-on-parquet handle for HUGE registries (≥10^7 surfaces):
+    the driver never collects the rows — executors read the parquet
+    themselves (pyarrow, local read per worker) and build the automaton
+    once per worker (same version-keyed cache). The driver ships only the
+    path + version string in the UDF closure.
+
+    Interface-compatible with SurfaceIndexHandle (.local(), .rows,
+    .worker_getter()); ``scan.build_surface_index(via_file=...)`` writes
+    the parquet and returns this handle."""
+
+    def __init__(self, path: str, version: str | None = None) -> None:
+        self.path = path
+        self.version = version or ("file:" + path + ":" + uuid.uuid4().hex)
+        self._rows: list[tuple[str, str, str]] | None = None
+        self._local: SurfaceIndex | None = None
+
+    def _read_rows(self) -> list[tuple[str, str, str]]:
+        return _read_surface_rows(self.path)
+
+    @property
+    def rows(self) -> list[tuple[str, str, str]]:
+        if self._rows is None:
+            self._rows = self._read_rows()
+        return self._rows
+
+    def local(self) -> SurfaceIndex:
+        if self._local is None:
+            self._local = SurfaceIndex(self.rows)
+        return self._local
+
+    def worker_getter(self):
+        return _FileGetter(self.path, self.version)
+
+
+class _FileGetter:
+    """Worker-side: build-or-fetch the automaton from the registry parquet
+    (no broadcast, no driver collect)."""
+
+    def __init__(self, path: str, version: str) -> None:
+        self._path = path
+        self._version = version
+
+    def __call__(self) -> "SurfaceIndex":
+        idx = _WORKER_INDEX_CACHE.get(self._version)
+        if idx is None:
+            while len(_WORKER_INDEX_CACHE) >= _WORKER_INDEX_CACHE_MAX:
+                _WORKER_INDEX_CACHE.popitem(last=False)
+            idx = SurfaceIndex(_read_surface_rows(self._path))
+            _WORKER_INDEX_CACHE[self._version] = idx
+        else:
+            _WORKER_INDEX_CACHE.move_to_end(self._version)
+        return idx
+
+
+def _read_surface_rows(path: str) -> list[tuple[str, str, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["surface", "person", "kind"])
+    return [
+        (s, p, k)
+        for s, p, k in zip(
+            t.column("surface").to_pylist(),
+            t.column("person").to_pylist(),
+            t.column("kind").to_pylist(),
+        )
+        if s is not None
+    ]
+
 
 _WORKER_INDEX_CACHE: "OrderedDict[str, SurfaceIndex]" = OrderedDict()
 _WORKER_INDEX_CACHE_MAX = 4

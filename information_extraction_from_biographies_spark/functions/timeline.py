@@ -12,6 +12,14 @@ Faithful to ``Get_Timeline.py:17-61`` (non-concise mode):
 - last occurrence per year wins (dict overwrite, ``Get_Timeline.py:54``) —
   emitted here with start_pos so the engine resolves last-wins with a
   window (A6), not a driver loop.
+
+Concise mode (``Get_Timeline.py:63-83``): the event span is re-parsed
+through the dependency annotator; each dobj/iobj dependency contributes
+gov+dep, each nsubj/csubj contributes dep+gov, all joined by ，; if no
+such dependency exists the stripped raw event is kept. The reference
+uses its CoreNLP parse here — the engine reuses N5's deterministic
+lexicon/pattern annotator (functions/relations.py), so concise output is
+hermetic like the rest of stage 2.
 """
 
 from __future__ import annotations
@@ -26,8 +34,15 @@ _END_RE = re.compile(r"。|([^到至]({}))\d+年".format("|".join(ERA_NAMES)))
 _WESTERN_YEAR_RE = re.compile(r"19\d{2}|20\d{2}")
 
 
-def extract_timeline(text: str) -> list[tuple[int, str, int]]:
-    """Return [(year, event, start_pos)] — one row per surviving span."""
+def extract_timeline(
+    text: str, concise: bool = False, lex_index: dict | None = None
+) -> list[tuple[int, str, int]]:
+    """Return [(year, event, start_pos)] — one row per surviving span.
+
+    ``concise=True`` condenses each event via the dependency annotator
+    (Get_Timeline.py:63-83); ``lex_index`` optionally supplies the
+    conversation's ``build_lex_index`` result so known person surfaces
+    segment as NR (an empty lexicon still finds verb/noun pairs)."""
     out: list[tuple[int, str, int]] = []
     for anchor in _START_RE.finditer(text):
         start = anchor.start()
@@ -40,5 +55,27 @@ def extract_timeline(text: str) -> list[tuple[int, str, int]]:
         year = int(raw[ym.start() : ym.end()])
         raw_event = raw[ym.end() + 1 :]
         event = raw_event[1:] if raw_event.startswith("，") else raw_event
+        if concise:
+            event = _concise_event(event, lex_index)
         out.append((year, event, start))
     return out
+
+
+def _concise_event(event: str, lex_index: dict | None) -> str:
+    """Condense an (already comma-stripped) event span: gov+dep for each
+    dobj/iobj, dep+gov for each nsubj/csubj, ，-joined; falls back to the
+    stripped raw event when no such dependency is found
+    (Get_Timeline.py:75-83: complex_process_raw_event_of_the_year)."""
+    from .relations import build_dep_dict, build_lex_index
+
+    if lex_index is None:
+        lex_index = build_lex_index([])
+    dep = build_dep_dict(event, lex_index)
+    parts: list[str] = []
+    for word, info in dep.items():  # token order = the annotator's parse order
+        for label, child in info["dependency"].items():
+            if label in ("dobj", "iobj"):
+                parts.append(word + child)
+            elif label in ("nsubj", "csubj"):
+                parts.append(child + word)
+    return "，".join(parts) if parts else event

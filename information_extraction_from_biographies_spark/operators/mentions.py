@@ -28,33 +28,51 @@ def conv_text_of(pdf: pd.DataFrame, col: str = "norm_text") -> str:
     return "\n\n".join(str(t) for t in ordered[col] if t is not None)
 
 
-def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    conv_id = pdf["conv_id"].iloc[0]
-    text = conv_text_of(pdf)
-    bio_vals = [b for b in pdf["biographee"] if isinstance(b, str) and b]
-    biographee = bio_vals[0] if bio_vals else None
-    names, alias_tuples = extract_names_from_conv(text, biographee)
-    rows = [
-        {"conv_id": conv_id, "kind": "name", "name": n, "alias_type": None, "alias": None}
-        for n in sorted(names)
-    ] + [
-        {"conv_id": conv_id, "kind": "alias", "name": n, "alias_type": t, "alias": a}
-        for (n, t, a) in sorted(alias_tuples)
-    ]
-    return pd.DataFrame(rows, columns=["conv_id", "kind", "name", "alias_type", "alias"])
+def _make_extract_group(user_dict_index: dict | None):
+    def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        text = conv_text_of(pdf)
+        bio_vals = [b for b in pdf["biographee"] if isinstance(b, str) and b]
+        biographee = bio_vals[0] if bio_vals else None
+        names, alias_tuples = extract_names_from_conv(text, biographee, user_dict_index)
+        rows = [
+            {"conv_id": conv_id, "kind": "name", "name": n, "alias_type": None, "alias": None}
+            for n in sorted(names)
+        ] + [
+            {"conv_id": conv_id, "kind": "alias", "name": n, "alias_type": t, "alias": a}
+            for (n, t, a) in sorted(alias_tuples)
+        ]
+        return pd.DataFrame(rows, columns=["conv_id", "kind", "name", "alias_type", "alias"])
+
+    return _extract_group
 
 
-def extract_people_combined(turns: DataFrame, meta: DataFrame, pre_sorted: bool = False) -> DataFrame:
+def extract_people_combined(
+    turns: DataFrame,
+    meta: DataFrame,
+    pre_sorted: bool = False,
+    user_dict=None,
+) -> DataFrame:
     """One extraction pass → (conv_id, kind∈{name,alias}, name, alias_type,
     alias). Persist/materialize THIS when both splits are needed — the
-    name/alias splits below are filters over the same lineage."""
+    name/alias splits below are filters over the same lineage.
+
+    ``user_dict``: iterable of known person names — the N1 dictionary-
+    segmentation channel (jieba user dicts, NER.py:8-10). Indexed once on
+    the driver and shipped in the UDF closure (dictionary scale is the
+    reference's: thousands of entries, well under broadcast concern)."""
+    from ..functions.extraction import build_name_dict_index
+
+    index = build_name_dict_index(user_dict) if user_dict else None
     # biographee travels with the group: broadcast-join meta onto turns
     # (meta is |convs| rows of a few strings — well under the threshold for
     # dims derived per-conv; at extreme scale it is co-partitioned instead).
     enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
         F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
     )
-    return grouped_map(enriched, _extract_group, _EXTRACT_SCHEMA, pre_sorted=pre_sorted)
+    return grouped_map(
+        enriched, _make_extract_group(index), _EXTRACT_SCHEMA, pre_sorted=pre_sorted
+    )
 
 
 def split_extracted(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -65,13 +83,15 @@ def split_extracted(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     return conv_names, conv_aliases
 
 
-def extract_people(turns: DataFrame, meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+def extract_people(
+    turns: DataFrame, meta: DataFrame, user_dict=None
+) -> tuple[DataFrame, DataFrame]:
     """→ (conv_names, conv_aliases), both per-conversation.
 
     conv_names:   (conv_id, name)
     conv_aliases: (conv_id, name, alias_type, alias)
     """
-    return split_extracted(extract_people_combined(turns, meta))
+    return split_extracted(extract_people_combined(turns, meta, user_dict=user_dict))
 
 
 def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[DataFrame, DataFrame]:

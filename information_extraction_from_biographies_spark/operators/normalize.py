@@ -48,9 +48,23 @@ def normalize(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     turns: transcripts + `norm_text` (turn 0 has title/authors stripped).
     conv_meta: one row per conversation with the N8 fields.
     """
+    turns, meta, _enriched = normalize_shared(transcripts)
+    return turns, meta
+
+
+def normalize_shared(
+    transcripts: DataFrame, persist_enriched: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (turns, conv_meta, enriched0). Both outputs are projections of
+    the single turn-0 mapInPandas frame; callers that materialize turns
+    AND meta (the pipeline) pass ``persist_enriched=True`` and unpersist
+    the returned ``enriched0`` handle afterwards, so the extraction pass
+    runs once instead of once per output table."""
     base = transcripts.select(*TURN_COLS)
     enriched0 = base.filter(F.col("turn_idx") == 0).mapInPandas(_enrich_turn0, schema=_ENRICHED_SCHEMA)
+    if persist_enriched:
+        enriched0 = enriched0.persist()
     meta = enriched0.select("conv_id", "biographee", "english_name", "birth", "death", "authors")
     rest = base.filter(F.col("turn_idx") != 0).withColumn("norm_text", F.col("text"))
     turns = enriched0.select(*TURN_COLS, "norm_text").unionByName(rest)
-    return turns, meta
+    return turns, meta, enriched0

@@ -13,10 +13,12 @@ Emits two row kinds per conversation:
 - 'person' — distinct persons found anywhere in the full text
              (repeatOK=False scan; feeds A4 biographee priors and N5)
 
-Scale notes: the automaton is built once on the driver and shipped in the
-UDF closure (≈100 B/surface; a 10^7-surface registry is ~1 GB — at that
-scale it would be built per-executor from a registry parquet via a
-mapPartitions initializer; the algorithmic shape is unchanged).
+Scale notes: two distribution paths for the probe dictionary, identical
+scan output (tests/test_scan_paths.py). Default: raw registry rows are
+broadcast and each worker builds the automaton once (≈100 B/surface).
+Huge registries (≥10^7 surfaces, where the driver collect + broadcast
+re-ship is the bottleneck): ``build_surface_index(via_file=...)`` leaves
+the registry on parquet and each worker reads + builds locally.
 """
 
 from __future__ import annotations
@@ -28,20 +30,35 @@ from pyspark.sql import functions as F  # noqa: N812
 from ..functions.clauses import split_clauses_with_positions
 from ..functions.grouped import grouped_map
 from ..functions.extraction import KIN_TEMP_TYPE
-from ..functions.matcher import SurfaceIndexHandle, cached_index
+from ..functions.matcher import SurfaceIndexHandle
 
 _SCAN_SCHEMA = "conv_id string, kind string, pos int, person string, surface string"
 
 
-def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndexHandle:
-    """Collect the registry and broadcast the raw surface rows; executors
-    build the automaton once per worker (matcher.cached_index).
+def build_surface_index(surfaces_df: DataFrame, via_file: str | None = None):
+    """Build the J1 probe-dictionary handle.
+
+    Default: collect the registry (Arrow toPandas — py4j row collection of
+    a 10^5-surface registry costs ~10s of serial driver time; the Arrow
+    path is ~30x faster and this sits on the pipeline's critical path) and
+    broadcast the raw rows; executors build the automaton once per worker
+    (matcher.cached_index).
+
+    ``via_file=<path>``: the huge-registry path (≥10^7 surfaces, where the
+    driver collect + broadcast re-ship would be the bottleneck) — write
+    the registry to parquet and return a FileSurfaceIndexHandle; each
+    worker reads the parquet itself and builds the automaton locally.
+    Scan output is identical on both paths (tests/test_scan_paths.py).
 
     親屬關係暫存-packed pseudo-aliases are kept — the reference probes them
     too (Utilities.py:58-63); they simply never match text."""
-    # Arrow toPandas, NOT collect(): py4j row collection of a 10^5-surface
-    # registry costs ~10s of serial driver time; the Arrow path is ~30x
-    # faster and this sits on the pipeline's critical path.
+    if via_file is not None:
+        from ..functions.matcher import FileSurfaceIndexHandle
+
+        surfaces_df.select("surface", "person", "kind").write.mode("overwrite").parquet(
+            via_file
+        )
+        return FileSurfaceIndexHandle(via_file)
     pdf = surfaces_df.toPandas()
     rows = [
         (s, p, k)
@@ -51,12 +68,13 @@ def build_surface_index(surfaces_df: DataFrame) -> SurfaceIndexHandle:
     return SurfaceIndexHandle(surfaces_df.sparkSession, rows)
 
 
-def scan_mentions(turns: DataFrame, index: SurfaceIndexHandle) -> DataFrame:
-    """→ (conv_id, kind, pos, person, surface); see module docstring."""
-    bc = index.broadcast
+def scan_mentions(turns: DataFrame, index) -> DataFrame:
+    """→ (conv_id, kind, pos, person, surface); see module docstring.
+    ``index``: SurfaceIndexHandle or FileSurfaceIndexHandle."""
+    getter = index.worker_getter()
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = cached_index(bc)
+        idx = getter()
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)

@@ -29,7 +29,7 @@ from ..functions.clauses import split_clauses_with_positions
 from ..functions.extraction import extract_hometown
 from .cooccurrence import conv_pair_scores
 from ..functions.grouped import grouped_map
-from ..functions.matcher import SurfaceIndexHandle, cached_index
+from ..functions.matcher import SurfaceIndexHandle
 from ..functions.relations import extract_relations_for_conv
 from ..functions.timeline import extract_timeline
 
@@ -47,10 +47,10 @@ def fused_scan_extract(
 ) -> DataFrame:
     """→ tagged-union DataFrame; see module docstring. Persist this and
     split with the accessors below."""
-    bc = index.broadcast
+    getter = index.worker_getter()
 
     def _go(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = cached_index(bc)
+        idx = getter()
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)

@@ -150,15 +150,19 @@ def vital_triples(meta: DataFrame) -> DataFrame:
     return born.unionByName(died).unionByName(authored)
 
 
-def timeline_table(turns: DataFrame) -> DataFrame:
+def timeline_table(turns: DataFrame, concise: bool = False) -> DataFrame:
     """N6 — (conv_id, year, event, start_pos); A6 last-wins applied by the
-    materialize stage with a window, not here."""
+    materialize stage with a window, not here. ``concise=True`` condenses
+    each event through the dependency annotator (Get_Timeline.py:63-83;
+    the reference emits both variants side by side)."""
 
     def _tl(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
-        rows = [(conv_id, y, e, s) for (y, e, s) in extract_timeline(text)]
+        rows = [
+            (conv_id, y, e, s) for (y, e, s) in extract_timeline(text, concise=concise)
+        ]
         return pd.DataFrame(rows, columns=["conv_id", "year", "event", "start_pos"])
 
     return grouped_map(

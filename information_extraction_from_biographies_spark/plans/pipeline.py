@@ -64,11 +64,16 @@ class Pipeline:
         warehouse: str,
         snapshot_id: str = "v1",
         cc_salt: int = 0,
+        user_dict=None,
     ) -> None:
+        """``user_dict``: iterable of known person names for the N1
+        dictionary-segmentation channel (the jieba user dicts of
+        NER.py:8-10); None disables the channel."""
         self.spark = spark
         self.store = CheckpointStore(spark, warehouse)
         self.snapshot_id = snapshot_id
         self.cc_salt = cc_salt
+        self.user_dict = user_dict
 
     def run(self, transcripts: DataFrame, resume: bool = True, fail_after: str | None = None) -> PipelineResult:
         """Run all stages; with resume=True, committed stages are read back
@@ -89,20 +94,19 @@ class Pipeline:
                 raise RuntimeError(f"injected failure after committing {name}")
             return self.store.read(name, sid)
 
-        # stage 0
-        def _norm_turns():
-            turns, _ = normalize.normalize(transcripts)
-            return turns
-
-        def _norm_meta():
-            _, meta = normalize.normalize(transcripts)
-            return meta
-
-        turns = _materialize("stage0_turns", _norm_turns, {"transcripts": "input"})
-        meta = _materialize("stage0_meta", _norm_meta, {"transcripts": "input"})
+        # stage 0 — ONE enrichment pass feeds both commits (the persisted
+        # turn-0 frame is shared; previously each table re-ran the pass)
+        norm_turns, norm_meta, enriched0 = normalize.normalize_shared(
+            transcripts, persist_enriched=True
+        )
+        turns = _materialize("stage0_turns", lambda: norm_turns, {"transcripts": "input"})
+        meta = _materialize("stage0_meta", lambda: norm_meta, {"transcripts": "input"})
+        enriched0.unpersist()
 
         # stage 1 — one extraction pass, persisted across the two table writes
-        extracted = mentions.extract_people_combined(turns, meta).persist()
+        extracted = mentions.extract_people_combined(
+            turns, meta, user_dict=self.user_dict
+        ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
 
         conv_names = _materialize("stage1_names", lambda: ext_names, {"stage0_turns": sid})

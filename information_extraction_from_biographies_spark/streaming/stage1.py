@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..functions.matcher import SurfaceIndexHandle, cached_index
+from ..functions.matcher import SurfaceIndexHandle
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -47,10 +47,10 @@ def streaming_mentions(stream: DataFrame, index: SurfaceIndexHandle) -> DataFram
     stateless, so it runs identically under micro-batch or availableNow.
     Same automaton distribution as batch: broadcast rows, build-once per
     worker (matcher.cached_index)."""
-    bc = index.broadcast
+    getter = index.worker_getter()
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = cached_index(bc)
+        idx = getter()
         for pdf in batches:
             rows = []
             for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):

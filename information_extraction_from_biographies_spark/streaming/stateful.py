@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.matcher import SurfaceIndexHandle, cached_index
+from ..functions.matcher import SurfaceIndexHandle
 
 _OUT_SCHEMA = "conv_id string, person string, first_turn_idx int"
 _STATE_SCHEMA = "max_turn int, persons array<string>"
@@ -33,7 +33,7 @@ def incremental_conv_mentions(
     """→ streaming (conv_id, person, first_turn_idx): each person emitted
     once per conversation, at the first turn where any of their surfaces
     appears."""
-    bc = index.broadcast
+    getter = index.worker_getter()
     use_ttl = ttl_minutes > 0
 
     def _update(
@@ -43,7 +43,7 @@ def incremental_conv_mentions(
         if state.hasTimedOut:
             state.remove()
             return
-        idx = cached_index(bc)
+        idx = getter()
         if state.exists:
             max_turn, persons = state.get
             seen = set(persons)

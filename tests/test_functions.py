@@ -196,3 +196,59 @@ def test_depreciation_weight_sequence():
         depre **= 2
     closed = [1.0] + [DEPRECIATE_FACTOR ** (2 ** (k - 2)) for k in range(2, 6)]
     assert weights == closed
+
+
+def test_timeline_concise_mode():
+    """Get_Timeline.py:63-83: dobj/iobj => gov+dep, nsubj/csubj => dep+gov,
+    ，-joined; no qualifying dependency => stripped raw event."""
+    from information_extraction_from_biographies_spark.functions.relations import build_lex_index
+
+    # dobj: 創立(VV) 報社(NN) adjacency -> condensed to gov+dep
+    text = "民國40年（1951），與友人創立報社而聞名。"
+    (year, event, _pos), = extract_timeline(text, concise=True)
+    assert (year, event) == (1951, "創立報社")
+    # non-concise keeps the full span
+    (_, full_event, _), = extract_timeline(text)
+    assert full_event == "與友人創立報社而聞名"
+
+    # nsubj (copula 為 with a known NR surface): dep+gov ordering
+    lex = build_lex_index(["王大明"])
+    text2 = "民國41年（1952），恩師為王大明。"
+    (_, event2, _), = extract_timeline(text2, concise=True, lex_index=lex)
+    assert event2 == "恩師王大明"
+
+    # fallback: no qualifying dependency -> raw (comma-stripped) event
+    text3 = "民國42年（1953），聲名遠播。"
+    (_, event3, _), = extract_timeline(text3, concise=True)
+    assert event3 == "聲名遠播"
+
+
+def test_n1_dictionary_segmentation_channel():
+    """NER.py:8-10,132-139: a user-dict name with NO trigger-window context
+    is recalled only via dictionary segmentation."""
+    from information_extraction_from_biographies_spark.functions.extraction import (
+        build_name_dict_index,
+        extract_names_from_conv,
+        segment_names,
+    )
+
+    idx = build_name_dict_index(["林俊傑", "王大明"])
+    text = "某日林俊傑抵達台北。"  # no N2 trigger char precedes the name
+    assert segment_names(text, idx) == {"林俊傑"}
+
+    names_with_dict, _ = extract_names_from_conv(text, None, idx)
+    assert "林俊傑" in names_with_dict
+    names_without, _ = extract_names_from_conv(text, None, None)
+    assert "林俊傑" not in names_without
+
+
+def test_n1_longest_match_consumes_span():
+    from information_extraction_from_biographies_spark.functions.extraction import (
+        build_name_dict_index,
+        segment_names,
+    )
+
+    # 王大明 must win over 王大 (longest match), and the consumed span
+    # cannot re-trigger the shorter entry
+    idx = build_name_dict_index(["王大", "王大明"])
+    assert segment_names("王大明到訪。", idx) == {"王大明"}

@@ -4,11 +4,20 @@ The reference shells out to OpenCC around every CoreNLP call
 (``NER.py:16-18,144,154``; ``Relationship.py:6-8,83-85``;
 ``Get_Timeline.py:9-11,65,69``) because its NLP models are
 simplified-Chinese. The engine's extractors are dialect-native, so
-conversion is only needed at ingestion boundaries; it is exposed as a pure
-column expression (``F.translate`` — JVM-side, codegen-friendly) over a
-1:1 character mapping covering the vocabulary that appears in biography
-text. Multi-char OpenCC phrase rules are out of scope by design (the
-reference round-trips s2t(t2s(x)) which is identity on this vocabulary).
+conversion is only needed at ingestion boundaries.
+
+Two layers, mirroring OpenCC's architecture:
+
+1. **Phrase rules** (multi-char, longest-first) disambiguate the
+   one-to-many characters (发→發/髮, 后→後/后, 干→幹/乾/干, 钟→鐘/鍾,
+   复→復/複, 里→裡/里, 面→麵/面, 只→隻/只) — applied as ordered literal
+   replaces (JVM ``F.replace`` chain, codegen-friendly).
+2. **Char map** (1:1) covers the unambiguous biography-domain vocabulary
+   via ``F.translate``.
+
+The rule tables are curated for the biography domain, not a full OpenCC
+dump — the deterministic subset the engine's fixtures and gazetteers
+exercise; extending them is data, not code.
 """
 
 from __future__ import annotations
@@ -32,29 +41,106 @@ _T2S = {
     "關": "关", "係": "系", "婦": "妇", "兒": "儿", "孫": "孙", "婚": "婚",
     "嶽": "岳", "澤": "泽", "煥": "焕", "銘": "铭", "鳳": "凤", "鴻": "鸿",
     "燦": "灿", "號": "号", "筆": "笔", "門": "门",
+    # many→one merges (safe t2s, ambiguous s2t — see _S2T overrides)
+    "髮": "发", "鐘": "钟", "復": "复", "複": "复", "裡": "里",
+    "麵": "面", "隻": "只", "乾": "干", "幹": "干",
+    "頭": "头", "說": "说", "條": "条", "這": "这", "餅": "饼",
+    "淨": "净", "雜": "杂", "數": "数", "錶": "表",
 }
-_S2T = {s: t for t, s in _T2S.items()}
 
-_T_CHARS = "".join(_T2S.keys())
-_S_FOR_T = "".join(_T2S.values())
-_S_CHARS = "".join(_S2T.keys())
-_T_FOR_S = "".join(_S2T.values())
+# simplified → traditional 1:1 defaults. Built from the inverse of _T2S;
+# where several traditional chars merged into one simplified char, the
+# biography-domain default is pinned explicitly and the minority readings
+# are handled by the phrase rules below.
+_S2T = {
+    s: t
+    for t, s in _T2S.items()
+    if s not in ("发", "钟", "复", "里", "面", "只", "干", "后", "表")
+}
+_S2T.update({
+    "发": "發",  # verbs/abstract (發展/出發); 髮 via phrases
+    "钟": "鍾",  # surname default; 鐘 (clock) via phrases
+    "复": "復",  # 恢復/復興; 複 (duplicate) via phrases
+    "后": "後",  # temporal; royal 后 via phrases
+    # 里/面/只/干 default to identity (common as-is in traditional text:
+    # 村里/面會/只身/干支); their traditional-only readings via phrases
+})
+
+# s2t phrase rules (longest first at apply time)
+_S2T_PHRASES = {
+    "头发": "頭髮", "理发": "理髮", "毛发": "毛髮",
+    "皇后": "皇后", "太后": "太后", "王后": "王后",
+    "时钟": "時鐘", "分钟": "分鐘", "钟表": "鐘錶",
+    "重复": "重複", "复杂": "複雜", "复数": "複數",
+    "这里": "這裡", "那里": "那裡", "哪里": "哪裡", "里面": "裡面",
+    "面包": "麵包", "面条": "麵條", "面粉": "麵粉",
+    "一只": "一隻", "船只": "船隻",
+    "饼干": "餅乾", "干燥": "乾燥", "干净": "乾淨",
+    "干部": "幹部", "干事": "幹事", "能干": "能幹",
+}
+# t2s needs no phrase layer: every traditional reading above maps to its
+# simplified form unambiguously at the character level (many→one).
+_T2S_PHRASES: dict[str, str] = {}
+
+
+def _char_tables(mapping: dict[str, str]) -> tuple[str, str]:
+    pairs = [(a, b) for a, b in mapping.items() if a != b]
+    return "".join(a for a, _ in pairs), "".join(b for _, b in pairs)
+
+
+_T_CHARS, _S_FOR_T = _char_tables(_T2S)
+_S_CHARS, _T_FOR_S = _char_tables(_S2T)
+
+_S2T_ORDER = sorted(_S2T_PHRASES, key=len, reverse=True)
+_T2S_ORDER = sorted(_T2S_PHRASES, key=len, reverse=True)
+
+# Phrase outputs must be invisible to the char layer (皇后 must not become
+# 皇後): phrases go through private-use placeholder chars — the same
+# placeholder technique the reference's preprocessor uses for its
+# space/newline normalization (Preprocess.py:115-131, Ä/Å).
+_S2T_PLACEHOLDER = {p: chr(0xE000 + i) for i, p in enumerate(_S2T_ORDER)}
+_T2S_PLACEHOLDER = {p: chr(0xE400 + i) for i, p in enumerate(_T2S_ORDER)}
+
+
+def _convert_col(
+    col: Column | str, phrases: dict, order: list[str], holders: dict, chars: str, out: str
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    for p in order:  # phrase layer first, longest-first, into placeholders
+        c = F.replace(c, F.lit(p), F.lit(holders[p]))
+    c = F.translate(c, chars, out)
+    for p in order:  # restore placeholders to the phrase targets
+        c = F.replace(c, F.lit(holders[p]), F.lit(phrases[p]))
+    return c
 
 
 def to_simplified(col: Column | str) -> Column:
     """t2s as a column expression (reference: OpenCC('t2s'), NER.py:17)."""
-    return F.translate(F.col(col) if isinstance(col, str) else col, _T_CHARS, _S_FOR_T)
+    return _convert_col(col, _T2S_PHRASES, _T2S_ORDER, _T2S_PLACEHOLDER, _T_CHARS, _S_FOR_T)
 
 
 def to_traditional(col: Column | str) -> Column:
     """s2t as a column expression (reference: OpenCC('s2t'), NER.py:16)."""
-    return F.translate(F.col(col) if isinstance(col, str) else col, _S_CHARS, _T_FOR_S)
+    return _convert_col(col, _S2T_PHRASES, _S2T_ORDER, _S2T_PLACEHOLDER, _S_CHARS, _T_FOR_S)
+
+
+def _convert_str(
+    text: str, phrases: dict, order: list[str], holders: dict, mapping: dict[str, str]
+) -> str:
+    for p in order:
+        if p in text:
+            text = text.replace(p, holders[p])
+    text = "".join(mapping.get(ch, ch) for ch in text)
+    for p in order:
+        if holders[p] in text:
+            text = text.replace(holders[p], phrases[p])
+    return text
 
 
 def t2s(text: str) -> str:
     """Driver/kernel-side scalar variant."""
-    return "".join(_T2S.get(ch, ch) for ch in text)
+    return _convert_str(text, _T2S_PHRASES, _T2S_ORDER, _T2S_PLACEHOLDER, _T2S)
 
 
 def s2t(text: str) -> str:
-    return "".join(_S2T.get(ch, ch) for ch in text)
+    return _convert_str(text, _S2T_PHRASES, _S2T_ORDER, _S2T_PLACEHOLDER, _S2T)

@@ -88,6 +88,16 @@ def _kg_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.timeline_final(triples.timeline_table(turns))
 
 
+def _kg_timeline_concise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 concise mode (Get_Timeline.py:63-83): events condensed via the
+    dependency annotator — rows-only (NLP, not SQL-expressible). The
+    reference emits both timeline variants side by side."""
+    from information_extraction_from_biographies_spark.operators import graph, triples
+
+    turns, *_ = _kg_tables(spark)
+    return graph.timeline_final(triples.timeline_table(turns, concise=True))
+
+
 def _kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from information_extraction_from_biographies_spark.operators import canonicalize
 
@@ -640,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_timeline": _kg_timeline,
+        "kg_timeline_concise": _kg_timeline_concise,
         "kg_entities": _kg_entities,
         "kg_biographee_query": _kg_biographee_query,
         # relational skeletons of SURVEY §2 operators (DuckDB-oracled)

@@ -51,3 +51,38 @@ def test_wholestage_codegen_on_agg(spark):
 def test_anti_join_for_set_difference(spark):
     plan = plan_of(entry.queries()["u4_customers_without_orders"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_simhash_partial_agg_collapses_before_exchange(spark):
+    """The 60 conditional bit-vote sums must partial-aggregate map-side:
+    one row per doc crosses the exchange, not one per token."""
+    from information_extraction_from_biographies_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = simhash(docs)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "partial_sum" in plan  # map-side combine of the bit votes
+    assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_minhash_profiles_no_explode_no_preshuffle(spark):
+    """One-pass numpy MinHash: the profile stage is scan -> mapInPandas,
+    with no Generate (explode) and no Exchange before the Python stage —
+    the |text|-row shingle amplification of the round-1 design is gone."""
+    from information_extraction_from_biographies_spark.operators.dedup import minhash_profiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_profiles(docs), "simple")
+    assert "Generate" not in plan and "Explode" not in plan
+    assert "Exchange" not in plan  # profiles are computed where the docs are read
+
+
+def test_jaccard_verify_broadcast_path(spark):
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    profiles = dedup.minhash_profiles(docs)
+    cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
+    plan = plan_of(dedup.jaccard_verify(profiles, cand, broadcast_sets=True))
+    assert "BroadcastHashJoin" in plan

@@ -179,6 +179,33 @@ def kmeans_centroids_np(
     return cents.tolist()
 
 
+def _assign_centroids_pandas(embeddings: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """embeddings + nearest-centroid column via one numpy matmul per Arrow
+    batch — the no-plan-bloat assignment for large centroid lists. Scoring
+    matches _nearest_centroid_expr (argmax of dot − ||c||²/2; np.argmax
+    returns the lowest index on exact ties); float summation order may
+    differ from the expression fold in the last bits, so the oracle-exact
+    queries stay on the literal-expression path."""
+    import numpy as np
+    import pandas as pd
+
+    carr = np.asarray(cents, dtype=np.float64)
+    half = (carr * carr).sum(axis=1) / 2.0
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            scores = vs @ carr.T - half[None, :]
+            out = pdf.copy()
+            out["c"] = np.argmax(scores, axis=1).astype("int32")
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields)
+    return embeddings.mapInPandas(_assign, schema=f"{fields}, c int")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -193,11 +220,16 @@ def ivf_topk(
 
     ``centroids``: precomputed literals (kmeans_centroids_np) — the
     oracle-exact path; None falls back to the Spark-side mini-Lloyd.
-    Assignment is a k×dim literal expression — fine to k≈128; beyond
-    that switch assignment to a pandas UDF over a broadcast centroid
-    matrix (numpy argmin; same semantics, no plan bloat)."""
+    Assignment strategy switches on k×dim: small lists inline as a
+    literal expression (codegen, oracle-mirrorable); large lists
+    (k×dim > 4096, where literal inlining bloats the plan) assign via a
+    vectorized numpy kernel over the closure-shipped centroid matrix —
+    same argmax-of(dot − ||c||²/2) semantics, lowest index on ties."""
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
-    inv = embeddings.withColumn("c", _nearest_centroid_expr(F.col("embedding"), cents))
+    if len(cents) * len(cents[0]) <= 4096:
+        inv = embeddings.withColumn("c", _nearest_centroid_expr(F.col("embedding"), cents))
+    else:
+        inv = _assign_centroids_pandas(embeddings, cents)
 
     import numpy as np
 

@@ -1,0 +1,65 @@
+"""Similarity operators: centroid-assignment path parity and near-dup
+bucket cap."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F  # noqa: N812
+
+from information_extraction_from_biographies_spark.operators import similarity as sim
+
+
+def _emb_df(spark, n=40, dim=8, seed=5):
+    rng = np.random.RandomState(seed)
+    rows = [(i, rng.normal(size=dim).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pandas_assignment_matches_expression_path(spark):
+    """The large-k numpy assignment must agree with the literal-expression
+    assignment (same argmax semantics) on well-separated data."""
+    emb = _emb_df(spark)
+    ids = np.arange(40)
+    vecs = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cents = sim.kmeans_centroids_np(vecs, ids, k=4, iters=2)
+
+    via_expr = {
+        r["vec_id"]: r["c"]
+        for r in emb.withColumn(
+            "c", sim._nearest_centroid_expr(F.col("embedding"), cents)
+        ).collect()
+    }
+    via_pandas = {
+        r["vec_id"]: r["c"] for r in sim._assign_centroids_pandas(emb, cents).collect()
+    }
+    assert via_expr == via_pandas
+
+
+def test_ivf_topk_with_precomputed_centroids(spark):
+    emb = _emb_df(spark)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ids = np.arange(40)
+    vecs = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cents = sim.kmeans_centroids_np(vecs, ids, k=4, iters=2)
+    out = sim.ivf_topk(emb, q, k=3, centroids=cents, nprobe=2).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    # a query's own vector lives in its probed list -> rank 1, cosine ~1
+    best = {r["query_id"]: r for r in out if r["rank"] == 1}
+    assert best[0]["vec_id"] == 0 and abs(best[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_embedding_near_dup_cap_bounds_bucket(spark):
+    # 30 identical vectors land in one LSH bucket; cap=5 bounds the pairs
+    base = np.ones(8).tolist()
+    rows = [(i, base) for i in range(30)] + [(100, (-np.ones(8)).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = sim.embedding_near_dup(emb, threshold=0.9, bits=4, dim=8, cap=5).count()
+    uncapped = sim.embedding_near_dup(emb, threshold=0.9, bits=4, dim=8, cap=None).count()
+    assert uncapped == 30 * 29 // 2
+    assert capped == 5 * 4 // 2

@@ -1,0 +1,61 @@
+"""Property tests (Hypothesis) for the SQL-mirrorable hash kernels —
+the invariants the DuckDB-oracle parity rests on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFFF, blacklist_categories=("Cs",)),
+    max_size=400,
+)
+
+
+def fold_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * H.B + ord(ch)) % H.P
+    return h
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, st.integers(min_value=2, max_value=12))
+def test_window_hashes_equal_char_fold_everywhere(text, n):
+    coeffs = np.asarray(H.poly_coeffs(n), dtype=np.int64)
+    got = H.window_hashes(H.codepoints(text), n, coeffs)
+    expect = [fold_hash(text[i : i + n]) for i in range(max(len(text) - n + 1, 0))]
+    assert got.tolist() == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_prefix_hash_equals_fold(text):
+    assert H.prefix_hash(H.codepoints(text)) == fold_hash(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=H.P - 1), min_size=1, max_size=50))
+def test_minhash_transform_stays_in_field_and_orders_consistently(hs):
+    """Affine minwise values stay in [0, P); the signature is permutation-
+    invariant in the shingle set (min over a set)."""
+    a, b = H.minhash_params(8)
+    arr = np.asarray(hs, dtype=np.int64)
+    sig = [int(((a[i] * arr + b[i]) % H.P).min()) for i in range(8)]
+    assert all(0 <= v < H.P for v in sig)
+    rng = np.random.RandomState(0)
+    perm = arr[rng.permutation(len(arr))]
+    sig2 = [int(((a[i] * perm + b[i]) % H.P).min()) for i in range(8)]
+    assert sig == sig2
+
+
+@settings(max_examples=50, deadline=None)
+@given(TEXT, TEXT)
+def test_identical_texts_collide_distinct_rarely(t1, t2):
+    """Equal texts hash equal (determinism); the fold is a function."""
+    assert fold_hash(t1) == fold_hash(t1)
+    if t1 == t2:
+        assert fold_hash(t1) == fold_hash(t2)

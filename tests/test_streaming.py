@@ -60,3 +60,41 @@ def test_streaming_windowed_activity(spark, landing, tmp_path):
     assert {r.n_turns for r in rows} == {4}
     assert {r.conv_id for r in rows} == {t.conv_id for t in f.truths}
     assert all(r.max_turn_idx == 3 for r in rows)
+
+
+def test_streaming_exact_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """streaming/dedup: duplicate payloads inside the watermark horizon are
+    dropped; distinct payloads all land; output carries content_hash."""
+    import datetime
+
+    from information_extraction_from_biographies_spark.streaming import dedup as sdedup
+    from information_extraction_from_biographies_spark.streaming.stage1 import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        run_available_now,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        ("d1", 0, "user", "same payload", None, t0),
+        ("d2", 0, "user", "same payload", None, t0 + datetime.timedelta(minutes=1)),
+        ("d3", 0, "user", "unique one", None, t0 + datetime.timedelta(minutes=2)),
+    ]
+    rows2 = [
+        ("d4", 0, "user", "same payload", None, t0 + datetime.timedelta(minutes=3)),
+        ("d5", 0, "user", "unique two", None, t0 + datetime.timedelta(minutes=4)),
+    ]
+    d = tmp_path / "dedup_landing"
+    spark.createDataFrame(rows1, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    spark.createDataFrame(rows2, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    stream = read_transcript_stream(spark, str(d) + "/*", max_files_per_trigger=1)
+    deduped = sdedup.streaming_exact_dedup(stream, watermark="10 minutes")
+    run_available_now(deduped, str(tmp_path / "ckpt_dedup"), "stream_dedup")
+    out = spark.sql("SELECT conv_id, text, content_hash FROM stream_dedup").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["same payload", "unique one", "unique two"]
+    assert all(len(r["content_hash"]) == 32 for r in out)

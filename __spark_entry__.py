@@ -463,6 +463,23 @@ def _dedup_minhash_lsh(spark, sf_dir):
     ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _dedup_ngram_jaccard(spark, sf_dir):
+    """Exact char-5-gram Jaccard over a relationally-blocked candidate set
+    (doc pairs sharing a source) — the standalone n-gram Jaccard dedup
+    channel; same polynomial shingle hashes as MinHash, so the DuckDB
+    oracle mirrors values exactly."""
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32)
+    d1 = docs.select(F.col("doc_id").alias("doc1"), "source")
+    d2 = docs.select(F.col("doc_id").alias("doc2"), "source")
+    cand = d1.join(d2, "source").filter(F.col("doc1") < F.col("doc2")).select("doc1", "doc2")
+    return dedup.jaccard_verify(
+        profiles, cand, threshold=0.15, broadcast_sets=True
+    ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _dedup_simhash(spark, sf_dir):
     """60-bit SimHash (pure column expressions, md5-derived token hash)
     with chunk-blocked hamming pairs — oracled exactly in DuckDB."""
@@ -684,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline extras
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -839,6 +857,34 @@ def _minhash_lsh_sql(
             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         ),
         sets AS (SELECT doc_id, list(h) AS shl FROM sh GROUP BY doc_id)
+        SELECT doc1, doc2, round(j, 6) AS jaccard FROM (
+          SELECT doc1, doc2,
+                 len(list_intersect(s1.shl, s2.shl))
+                 / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) AS j
+          FROM cand JOIN sets s1 ON cand.doc1 = s1.doc_id
+                    JOIN sets s2 ON cand.doc2 = s2.doc_id)
+        WHERE j >= {threshold}
+    """
+
+
+def _ngram_jaccard_sql(n: int = 5, threshold: float = 0.15) -> str:
+    """Source-blocked exact n-gram Jaccard — same shingle-hash CTE as the
+    MinHash oracle, candidates = same-source doc pairs."""
+    from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+
+    wh = H.window_hash_sql("text", "pos", n)
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, {wh} AS h
+          FROM documents,
+               LATERAL unnest(generate_series(1, CAST(length(text) AS BIGINT) - {n - 1})) t(pos)
+        ),
+        sets AS (SELECT doc_id, list(h) AS shl FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM documents a JOIN documents b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+        )
         SELECT doc1, doc2, round(j, 6) AS jaccard FROM (
           SELECT doc1, doc2,
                  len(list_intersect(s1.shl, s2.shl))
@@ -1137,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_sql(k=5, bits=6),
         "ann_ivf_topk": _ivf_topk_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _fingerprint_sql(),
         "text_quality": f"""

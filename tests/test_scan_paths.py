@@ -8,9 +8,10 @@ from pyspark.sql import functions as F  # noqa: N812
 from information_extraction_from_biographies_spark.operators import debug_sink, scan
 
 
-def _surfaces_df(spark, n: int = 1000):
-    # synthetic registry: n distinct surfaces, a handful present in text
-    rows = [(f"person{i:04d}", f"person{i:04d}", "name") for i in range(n)]
+def _surfaces_df(spark, n: int = 100_000):
+    # synthetic 10^5-surface registry (the scale where the file path
+    # matters), a handful of surfaces present in the probe text
+    rows = [(f"person{i:06d}", f"person{i:06d}", "name") for i in range(n)]
     rows += [("甲山", "甲山", "name"), ("乙川", "乙川", "name")]
     return spark.createDataFrame(rows, "surface string, person string, kind string")
 
@@ -20,7 +21,7 @@ def _turns_df(spark):
         [
             ("c1", 0, "甲山與乙川會面，甲山致詞。"),
             ("c1", 1, "乙川回訪。"),
-            ("c2", 0, "person0007到場，person0042未到。"),
+            ("c2", 0, "person000007到場，person042000未到。"),
         ],
         "conv_id string, turn_idx int, norm_text string",
     )

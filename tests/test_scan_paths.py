@@ -92,3 +92,21 @@ def test_debug_sinks_write_and_read_back(spark, tmp_path):
 
     tl = "\n".join(r["value"] for r in spark.read.text(f"{out}/timeline/conv_id=c1").collect())
     assert tl.index("1919 : 入學") < tl.index("1921 : 任職書局")
+
+
+def test_timeline_table_concise_end_to_end(spark):
+    """timeline_table(concise=True) through the grouped Spark pass:
+    condensed where a dependency exists, raw-fallback otherwise."""
+    from information_extraction_from_biographies_spark.operators.triples import timeline_table
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "民國40年（1951），與友人創立報社而聞名。"),
+            ("c1", 1, "民國42年（1953），聲名遠播。"),
+        ],
+        "conv_id string, turn_idx int, norm_text string",
+    )
+    got = {(r["year"], r["event"]) for r in timeline_table(turns, concise=True).collect()}
+    assert got == {(1951, "創立報社"), (1953, "聲名遠播")}
+    full = {(r["year"], r["event"]) for r in timeline_table(turns).collect()}
+    assert full == {(1951, "與友人創立報社而聞名"), (1953, "聲名遠播")}

@@ -10,6 +10,7 @@ person-name mentions), hermetic *how*.
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass, field
 
@@ -55,6 +56,12 @@ def _by_len_sets(words) -> list[tuple[int, frozenset]]:
 _SURNAME_SETS = _by_len_sets(SURNAMES)
 _NAME_SURNAME_SETS = _by_len_sets(NAME_SURNAMES)
 
+# Dynamic patterns (name/identifier-interpolated) flood the re module's
+# 512-entry global cache, which CLEARS ENTIRELY when full — measured 3.5s
+# of 4.6s per 1000 conversations going to recompiles. Route every
+# dynamically-built pattern through a per-entry-evicting LRU instead.
+_compile_cached = functools.lru_cache(maxsize=4096)(re.compile)
+
 _AUTHOR_RE = re.compile(r"（([\w、]+)撰寫?）")
 _TITLE_HEAD_RE = re.compile(r"^([^（]{1,8})（")
 _ENGLISH_HEAD_RE = re.compile(r"[a-zA-Z ]+")
@@ -98,7 +105,7 @@ def extract_title(text: str) -> TitleInfo:
         return info
     name = head.group(1)
     title_re = re.escape(name) + r"（(.+，)?([\d?.？]*)-([\d?.？]*)）"
-    tm = re.search(title_re, text)
+    tm = _compile_cached(title_re).search(text)
     if tm is None:
         info.norm_text = text
         return info
@@ -116,7 +123,7 @@ def get_kin_name(identifier: str, text: str, kinship: str) -> tuple[set, set]:
 
     Returns (names, alias_tuples); alias tuples with alias=None are the
     kinship placeholders later packed as 親屬關係暫存."""
-    m = re.search(r"[。，:]({})(\w+?){}".format(identifier, _KIN_STOP), text)
+    m = _compile_cached(r"[。，:]({})(\w+?){}".format(identifier, _KIN_STOP)).search(text)
     if m is None:
         return set(), set()
     candidate = m.group(2)
@@ -135,7 +142,7 @@ def get_kin_name(identifier: str, text: str, kinship: str) -> tuple[set, set]:
         name = candidate
 
     alias_tuples: set = set()
-    m2 = re.search(r"{}{}（([a-zA-Z].+?)）".format(re.escape(m.group(1)), re.escape(m.group(2))), text)
+    m2 = _compile_cached(r"{}{}（([a-zA-Z].+?)）".format(re.escape(m.group(1)), re.escape(m.group(2)))).search(text)
     if m2 is not None:
         m3 = re.search(_ENGLISH_HEAD_RE, m2.group(1))
         if kinship in ("女兒", "兒子"):
@@ -416,7 +423,7 @@ def get_english_names(text: str, names: set) -> set:
     """name（English…）→ 英文名 alias (NER.py:487-494)."""
     out: set = set()
     for name in names:
-        m = re.search(r"{}（([a-zA-Z].*?)）".format(re.escape(name)), text)
+        m = _compile_cached(r"{}（([a-zA-Z].*?)）".format(re.escape(name))).search(text)
         if m is not None:
             m2 = re.search(_ENGLISH_HEAD_RE, m.group(1))
             out.add((name, "英文名", m2.group(0)))
@@ -428,7 +435,7 @@ def get_other_names(text: str, biographee: str) -> set:
     out: set = set()
     sent = text.split("\n\n")[0]
     for alias_type in ALIAS_TYPES:
-        m = re.search("{}(.*?)[，。]".format(alias_type), sent)
+        m = _compile_cached("{}(.*?)[，。]".format(alias_type)).search(sent)
         if m is not None:
             for alias in m.group(1).split("、"):
                 out.add((biographee, alias_type, alias))

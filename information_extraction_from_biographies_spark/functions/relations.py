@@ -20,6 +20,10 @@ from ..gazetteers import KINSHIP_CHARS, NOUN_LEXICON, VERB_LEXICON
 
 _PARTICLES = set("與和被因的為其是於而了之在到至及暨並亦也皆均曾遂乃即後時年月日")
 _SENTINEL = "there has no relationships"
+# kinship-predicate drop (F7) as ONE compiled alternation instead of a
+# per-predicate python any() over the char list — the fused stage-2
+# kernel calls this for every raw relation (hot path)
+_KIN_PRED_RE = re.compile("|".join(re.escape(k) for k in KINSHIP_CHARS))
 
 
 def build_lex_index(surfaces: list[str]) -> dict[str, list[tuple[str, str]]]:
@@ -185,7 +189,7 @@ def filter_relations(relations: list[str]) -> list[tuple[str, str, str]]:
         name1, pred, name2 = parts
         if name1 == name2:
             continue
-        if any(kin in pred for kin in KINSHIP_CHARS):
+        if _KIN_PRED_RE.search(pred) is not None:
             continue
         out.append((name1, pred, name2))
     return out

@@ -603,6 +603,12 @@ def _text_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
 
+def _text_langid(spark, sf_dir):
+    from information_extraction_from_biographies_spark.operators.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
 def _text_fingerprint(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators.textstats import fingerprint
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_lang_scores": _text_lang_scores,
         "text_token_count": _text_token_count,
+        "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
         # multimodal plumbing (binary columns; rows-only)
         "mm_image_features": _mm_image_features,
@@ -1208,11 +1215,29 @@ def oracle_sql() -> dict[str, str]:
                    {_stopword_count_sql(es)} AS score_es
             FROM documents
         """,
-        "text_token_count": """
+        "text_token_count": r"""
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
             FROM documents
+        """,
+        "text_langid": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     {_stopword_count_sql(de)} AS score_de,
+                     {_stopword_count_sql(en)} AS score_en,
+                     {_stopword_count_sql(es)} AS score_es,
+                     {_stopword_count_sql(fr)} AS score_fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE
+                     WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                     WHEN score_en > score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                     WHEN score_es > score_de AND score_es > score_en AND score_es >= score_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS lang
+            FROM s
         """,
         # synth_media metadata is a pure function of the row index (see
         # multimodal.synth_media): kind = [image,audio,video][i%3],

@@ -20,14 +20,40 @@ _STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer shape: word runs, number runs, or single
+# punctuation marks — the regex budget most BPE vocabularies start from
+_BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (len/4 heuristic à la
-    byte-pair budget) — pure expressions."""
+    """Whitespace tokens, a BPE-ish regex pre-token count, and the len/4
+    byte-budget estimate — pure expressions."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_SPLIT), F.lit(0))).alias(
+            "re_tokens"
+        ),
         F.ceil(F.length(text_col) / 4).cast("long").alias("bpe_tokens_est"),
     )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang): argmax of the stopword scores, deterministic
+    alphabetical tie-break — the doc-level language assignment over
+    language_scores."""
+    scored = language_scores(docs, text_col)
+    langs = sorted(_STOPWORDS)
+    best = None
+    for lang in langs:  # alphabetical: first max wins ties
+        cond = F.lit(True)
+        for other in langs:
+            if other < lang:
+                cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{other}"))
+            elif other > lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return scored.select("doc_id", F.coalesce(best, F.lit(langs[0])).alias("lang"))
 
 
 def _count_words(text_col: str, words: list[str]):

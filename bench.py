@@ -49,9 +49,14 @@ HEADLINE = [
     "cc_components",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_token_count",
+    "text_langid",
+    "text_fingerprint",
 ]
 
 

@@ -65,15 +65,23 @@ class Pipeline:
         snapshot_id: str = "v1",
         cc_salt: int = 0,
         user_dict=None,
+        registry_via_file: bool = False,
     ) -> None:
         """``user_dict``: iterable of known person names for the N1
         dictionary-segmentation channel (the jieba user dicts of
-        NER.py:8-10); None disables the channel."""
+        NER.py:8-10); None disables the channel.
+
+        ``registry_via_file``: distribute the stage-2 probe dictionary via
+        a registry parquet under the warehouse instead of driver collect +
+        broadcast — the ≥10^7-surface path (scan.build_surface_index
+        via_file)."""
         self.spark = spark
         self.store = CheckpointStore(spark, warehouse)
+        self.warehouse = warehouse
         self.snapshot_id = snapshot_id
         self.cc_salt = cc_salt
         self.user_dict = user_dict
+        self.registry_via_file = registry_via_file
 
     def run(self, transcripts: DataFrame, resume: bool = True, fail_after: str | None = None) -> PipelineResult:
         """Run all stages; with resume=True, committed stages are read back
@@ -128,7 +136,10 @@ class Pipeline:
         # verb cascade, hometown, and timeline together (operators/stage2);
         # the three stage tables are filters over the persisted union.
         surfaces_df = mentions.registry_surfaces(people, alias_reg)
-        index = scan.build_surface_index(surfaces_df)
+        via_file = (
+            f"{self.warehouse}/_registry/surfaces-{sid}" if self.registry_via_file else None
+        )
+        index = scan.build_surface_index(surfaces_df, via_file=via_file)
         fused = stage2.fused_scan_extract(turns, meta, index).persist()
 
         mention_rows = _materialize(

@@ -62,3 +62,17 @@ def test_sparse_turn_idx_and_null_text(spark):
     tl = res.tables["timeline"].collect()
     assert [(r["year"]) for r in tl] == [1951]
     assert res.tables["turns"].count() == 3
+
+
+def test_pipeline_registry_via_file_matches_broadcast(spark, tmp_path):
+    """Pipeline(registry_via_file=True) — the huge-registry distribution
+    path — must produce the identical triple set."""
+    from information_extraction_from_biographies_spark import fixtures as fx
+
+    f = fx.make_fixture(n_convs=8, seed=21)
+    tdf = fx.transcripts_sdf(spark, f)
+    a = Pipeline(spark, str(tmp_path / "w1"), snapshot_id="a").run(tdf)
+    b = Pipeline(spark, str(tmp_path / "w2"), snapshot_id="b", registry_via_file=True).run(tdf)
+    tri_a = {(r.subj, r.pred, r.obj) for r in a.tables["triples"].collect()}
+    tri_b = {(r.subj, r.pred, r.obj) for r in b.tables["triples"].collect()}
+    assert tri_a == tri_b and len(tri_a) > 0

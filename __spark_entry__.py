@@ -463,6 +463,18 @@ def _dedup_minhash_lsh(spark, sf_dir):
     ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Cluster-level dedup (the 100-TB shape): star verification per LSH
+    bucket + connected components over verified edges — O(docs) verifies,
+    no quadratic pair materialization. Oracled including the CC step
+    (recursive CTE)."""
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32).persist()
+    return dedup.minhash_dedup_clusters(profiles, bands=8, cap=1000, threshold=0.5)
+
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     """Exact char-5-gram Jaccard over a relationally-blocked candidate set
     (doc pairs sharing a source) — the standalone n-gram Jaccard dedup
@@ -708,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -822,13 +835,10 @@ def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
     """
 
 
-def _minhash_lsh_sql(
-    n: int = 5, num_hashes: int = 32, bands: int = 8, cap: int = 1000, threshold: float = 0.5
-) -> str:
-    """Full MinHash+LSH chain in DuckDB: same polynomial shingle hash,
-    same (a_i, b_i) minwise literals, same band buckets, same cap, same
-    Jaccard — mirrors dedup.minhash_profiles → lsh_candidate_pairs →
-    jaccard_verify value-for-value."""
+def _minhash_ctes(n: int = 5, num_hashes: int = 32, bands: int = 8, cap: int = 1000) -> str:
+    """Shared DuckDB CTE block: polynomial shingle hashes (sh), minwise
+    signatures (sig), band buckets (banded), capped buckets (capped),
+    shingle-hash sets (sets) — the common prefix of every MinHash oracle."""
     from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
 
     a, b = H.minhash_params(num_hashes)
@@ -858,12 +868,22 @@ def _minhash_lsh_sql(
           SELECT * FROM banded
           QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= {cap}
         ),
+        sets AS (SELECT doc_id, list(h) AS shl FROM sh GROUP BY doc_id)"""
+
+
+def _minhash_lsh_sql(
+    n: int = 5, num_hashes: int = 32, bands: int = 8, cap: int = 1000, threshold: float = 0.5
+) -> str:
+    """Full MinHash+LSH chain in DuckDB: same polynomial shingle hash,
+    same (a_i, b_i) minwise literals, same band buckets, same cap, same
+    Jaccard — mirrors dedup.minhash_profiles → lsh_candidate_pairs →
+    jaccard_verify value-for-value."""
+    return f"""{_minhash_ctes(n, num_hashes, bands, cap)},
         cand AS (
           SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
           FROM capped l JOIN capped r
             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-        ),
-        sets AS (SELECT doc_id, list(h) AS shl FROM sh GROUP BY doc_id)
+        )
         SELECT doc1, doc2, round(j, 6) AS jaccard FROM (
           SELECT doc1, doc2,
                  len(list_intersect(s1.shl, s2.shl))
@@ -871,6 +891,42 @@ def _minhash_lsh_sql(
           FROM cand JOIN sets s1 ON cand.doc1 = s1.doc_id
                     JOIN sets s2 ON cand.doc2 = s2.doc_id)
         WHERE j >= {threshold}
+    """
+
+
+def _dedup_clusters_sql(
+    n: int = 5, num_hashes: int = 32, bands: int = 8, cap: int = 1000, threshold: float = 0.5
+) -> str:
+    """Star-edge + connected-components dedup clusters in DuckDB: same
+    CTEs, star edges (bucket-min rep to member), Jaccard verify, then a
+    recursive-CTE transitive closure with component = min doc_id —
+    mirrors dedup.minhash_dedup_clusters."""
+    ctes = _minhash_ctes(n, num_hashes, bands, cap).replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    return f"""{ctes},
+        star AS (
+          SELECT DISTINCT rep AS doc1, doc_id AS doc2 FROM (
+            SELECT doc_id, band, bucket,
+                   min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+            FROM capped) WHERE doc_id <> rep
+        ),
+        verified AS (
+          SELECT doc1, doc2 FROM (
+            SELECT doc1, doc2,
+                   len(list_intersect(s1.shl, s2.shl))
+                   / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) AS j
+            FROM star JOIN sets s1 ON star.doc1 = s1.doc_id
+                      JOIN sets s2 ON star.doc2 = s2.doc_id)
+          WHERE j >= {threshold}
+        ),
+        sym AS (SELECT doc1 AS src, doc2 AS dst FROM verified
+                UNION SELECT doc2, doc1 FROM verified),
+        walk(v, r) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT w.v, s.dst FROM walk w JOIN sym s ON w.r = s.src)
+        SELECT v AS doc_id, least(v, min(r)) AS cluster,
+               v = least(v, min(r)) AS is_keeper
+        FROM walk GROUP BY v
     """
 
 
@@ -1191,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_topk_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _fingerprint_sql(),
         "text_quality": f"""

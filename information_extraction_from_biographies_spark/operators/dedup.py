@@ -17,6 +17,13 @@ operations a large-scale training-data pipeline needs, built Spark-first:
                       otherwise go quadratic on one key.
 - jaccard_verify    — exact Jaccard over the shingle-hash sets for the
                       blocked candidate pairs only.
+- lsh_star_edges /
+  minhash_dedup_clusters — the DEDUP shape for 100 TB: each bucket
+                      member verifies against the bucket's lowest doc
+                      only (O(docs) edges), connected components over
+                      verified edges emit (doc_id, cluster, is_keeper).
+                      Pair emission is O(Σ cluster²) by construction and
+                      is kept for reporting, not deduplication.
 - simhash           — 60-bit SimHash over word tokens, pure column
                       expressions (explode → 60 conditional sums with
                       map-side partial agg → one row per doc through the

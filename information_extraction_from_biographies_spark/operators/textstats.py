@@ -72,20 +72,35 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword / uppercase ratios + composite."""
+    """Length / punctuation / stopword / uppercase ratios + a composite
+    quality score in [0,1] for threshold filtering:
+
+        0.5·min(1, 4·stopword_ratio)   natural running text has stopwords
+      + 0.3·(1 − min(1, 5·punct_ratio)) symbol soup scores low
+      + 0.2·min(1, n_tokens/100)        enough text to be trainable
+
+    Deterministic, mirrored exactly in the DuckDB oracle."""
     length = F.length(text_col)
     punct = length - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     upper = length - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
     ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     stop = _count_words(text_col, _STOPWORDS["en"])
+    stop_ratio = stop / F.greatest(ws_tokens, F.lit(1))
+    punct_ratio = punct / F.greatest(length, F.lit(1))
+    composite = (
+        F.least(F.lit(1.0), stop_ratio * 4) * 0.5
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5)) * 0.3
+        + F.least(F.lit(1.0), ws_tokens / F.lit(100.0)) * 0.2
+    )
     return docs.select(
         "doc_id",
         length.alias("n_chars"),
         ws_tokens.alias("n_tokens"),
-        F.round(punct / F.greatest(length, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(upper / F.greatest(length, F.lit(1)), 6).alias("upper_ratio"),
-        F.round(stop / F.greatest(ws_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(length / F.greatest(ws_tokens, F.lit(1)), 6).alias("mean_token_len"),
+        F.round(composite, 6).alias("quality"),
     )
 
 

@@ -501,6 +501,15 @@ def _dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(sim, max_hamming=6, cap=1000)
 
 
+def _dedup_simhash_clusters(spark, sf_dir):
+    """SimHash cluster-level dedup: star edges per chunk bucket, hamming
+    verify, connected components — oracled incl. the CC closure."""
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_dedup_clusters(sim, max_hamming=6, cap=1000)
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators.similarity import brute_force_topk
 
@@ -722,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_clusters": _dedup_simhash_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -958,9 +968,9 @@ def _ngram_jaccard_sql(n: int = 5, threshold: float = 0.15) -> str:
     """
 
 
-def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
-    """60-bit SimHash chain in DuckDB: same md5-derived token hash, same
-    bit votes, same 15-bit chunk blocking + cap, same hamming verify."""
+def _simhash_ctes(cap: int = 1000, recursive: bool = False) -> str:
+    """Shared DuckDB CTE block for the SimHash oracles: md5-derived token
+    hash, 60 bit votes, simhash, chunk keys, capped buckets."""
     from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
 
     th = H.tok_hash60_sql("tok")
@@ -977,7 +987,7 @@ def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
         for c in range(4)
     )
     return f"""
-        WITH toks AS (
+        WITH {"RECURSIVE " if recursive else ""}toks AS (
           SELECT doc_id, tok FROM (
             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
             FROM documents) WHERE tok <> ''
@@ -992,7 +1002,13 @@ def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
         capped AS (
           SELECT * FROM keyed
           QUALIFY row_number() OVER (PARTITION BY band, k ORDER BY doc_id) <= {cap}
-        ),
+        )"""
+
+
+def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
+    """60-bit SimHash chain in DuckDB: same md5-derived token hash, same
+    bit votes, same 15-bit chunk blocking + cap, same hamming verify."""
+    return f"""{_simhash_ctes(cap)},
         pairs AS (
           SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
                           l.simhash AS s1, r.simhash AS s2
@@ -1001,6 +1017,32 @@ def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
         )
         SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
         FROM pairs WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+    """
+
+
+def _simhash_clusters_sql(max_hamming: int = 6, cap: int = 1000) -> str:
+    """SimHash star-edge + CC clusters — mirrors simhash_dedup_clusters
+    (bucket-min rep, hamming verify, recursive transitive closure)."""
+    return f"""{_simhash_ctes(cap, recursive=True)},
+        star AS (
+          SELECT DISTINCT rep AS doc1, doc2, rep_sim AS s1, s2 FROM (
+            SELECT doc_id AS doc2, simhash AS s2, band, k,
+                   min(doc_id) OVER (PARTITION BY band, k) AS rep,
+                   first_value(simhash) OVER (PARTITION BY band, k ORDER BY doc_id) AS rep_sim
+            FROM capped) WHERE doc2 <> rep
+        ),
+        verified AS (
+          SELECT doc1, doc2 FROM star WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+        ),
+        sym AS (SELECT doc1 AS src, doc2 AS dst FROM verified
+                UNION SELECT doc2, doc1 FROM verified),
+        walk(v, r) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT w.v, s.dst FROM walk w JOIN sym s ON w.r = s.src)
+        SELECT v AS doc_id, least(v, min(r)) AS cluster,
+               v = least(v, min(r)) AS is_keeper
+        FROM walk GROUP BY v
     """
 
 
@@ -1249,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_clusters": _simhash_clusters_sql(),
         "text_fingerprint": _fingerprint_sql(),
         "text_quality": f"""
             WITH q AS (

@@ -288,6 +288,65 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select("doc_id", sh.alias("simhash"))
 
 
+def simhash_dedup_clusters(
+    sim: DataFrame, max_hamming: int = 3, cap: int | None = 1000, combo: bool = False
+) -> DataFrame:
+    """SimHash counterpart of minhash_dedup_clusters: star edges per
+    chunk-key bucket (member ↔ bucket-min doc), hamming verify, connected
+    components → (doc_id, cluster, is_keeper). O(docs) verifies; emits
+    clustered docs only (singletons stay with the caller)."""
+    from .canonicalize import connected_components
+
+    chunks = sim
+    for c in range(SIMHASH_CHUNKS):
+        chunks = chunks.withColumn(
+            f"c{c}",
+            F.shiftrightunsigned(F.col("simhash"), c * _CHUNK_BITS).bitwiseAND(
+                F.lit((1 << _CHUNK_BITS) - 1)
+            ),
+        )
+    if combo:
+        key_exprs = [
+            F.concat_ws(":", F.col(f"c{i}"), F.col(f"c{j}"))
+            for i in range(SIMHASH_CHUNKS)
+            for j in range(i + 1, SIMHASH_CHUNKS)
+        ]
+    else:
+        key_exprs = [F.col(f"c{c}").cast("string") for c in range(SIMHASH_CHUNKS)]
+    edges = None
+    for kid, key_expr in enumerate(key_exprs):
+        keyed = chunks.select(
+            "doc_id", "simhash", F.lit(kid).alias("band"), key_expr.alias("k")
+        )
+        keyed = _cap_bucket(keyed, ["band", "k"], cap)
+        w = Window.partitionBy("band", "k")
+        e = (
+            keyed.withColumn("_rep", F.min("doc_id").over(w))
+            .withColumn("_rep_sim", F.min(F.struct("doc_id", "simhash")).over(w)["simhash"])
+            .filter(F.col("doc_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("doc1"),
+                F.col("doc_id").alias("doc2"),
+                F.col("_rep_sim").alias("s1"),
+                F.col("simhash").alias("s2"),
+            )
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    verified = (
+        edges.distinct()
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    comp = connected_components(
+        verified.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    return comp.select(
+        F.col("vertex").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def simhash_near_pairs(
     sim: DataFrame, max_hamming: int = 3, cap: int | None = 1000, combo: bool = False
 ) -> DataFrame:

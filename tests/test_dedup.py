@@ -173,3 +173,20 @@ def test_minhash_dedup_clusters_star_cc(spark):
     assert got[0] == (0, True) and got[10] == (10, True)
     assert all(not k for d, (c, k) in got.items() if d not in (0, 10))
     assert 99 not in got  # singleton: no verified edge, caller keeps it
+
+
+def test_simhash_dedup_clusters(spark):
+    a = "alpha cluster common tokens shared by every member here " * 3
+    b = "totally different beta material with its own vocabulary set " * 3
+    rows = [(i, a + ("x" if i % 2 else "y")) for i in range(5)]
+    rows += [(20 + i, b + ("p" if i % 2 else "q")) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = dedup.simhash(docs).persist()
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_keeper"])
+        for r in dedup.simhash_dedup_clusters(sim, max_hamming=6).collect()
+    }
+    sim.unpersist()
+    assert {d for d, (c, _) in got.items() if c == 0} == {0, 1, 2, 3, 4}
+    assert {d for d, (c, _) in got.items() if c == 20} == {20, 21, 22}
+    assert got[0][1] and got[20][1]

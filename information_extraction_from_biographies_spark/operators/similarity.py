@@ -206,6 +206,76 @@ def _assign_centroids_pandas(embeddings: DataFrame, cents: list[list[float]]) ->
     return embeddings.mapInPandas(_assign, schema=f"{fields}, c int")
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Build a PERSISTED IVF index: vectors written to parquet partitioned
+    by nearest-centroid id (``path/c=<i>/``), centroids alongside as JSON.
+    Build once, query many — the 10^9-vector posture where re-assigning
+    the corpus per query batch is absurd. Returns the centroids.
+
+    Queries then prune partitions: reading ``c IN (probes)`` touches only
+    nprobe directories of the index (verified in tests via the scan's
+    partition filters)."""
+    import json
+    import os
+
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
+    if len(cents) * len(cents[0]) <= 4096:
+        assigned = embeddings.withColumn("c", _nearest_centroid_expr(F.col("embedding"), cents))
+    else:
+        assigned = _assign_centroids_pandas(embeddings, cents)
+    assigned.write.mode("overwrite").partitionBy("c").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def ivf_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: per query, probe the nprobe nearest
+    inverted lists — a partition-pruned scan (only those ``c=`` dirs are
+    read) — exact cosine + rank inside them."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = json.load(f)
+    carr = np.asarray(cents, dtype=float)
+    q_rows = queries.collect()  # query batch is small/broadcast-sized by contract
+
+    def probes_for(qv):
+        d = ((carr - np.asarray(qv, dtype=float)) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    probe_df = spark.createDataFrame(
+        [
+            (r["query_id"], list(r["query_vec"]), c)
+            for r in q_rows
+            for c in probes_for(r["query_vec"])
+        ],
+        "query_id long, query_vec array<double>, c int",
+    )
+    needed = sorted({int(r["c"]) for r in probe_df.select("c").distinct().collect()})
+    inv = spark.read.parquet(path).filter(F.col("c").isin(needed))
+    joined = inv.join(F.broadcast(probe_df), "c")
+    scored = joined.select(
+        "query_id", "vec_id", cosine_expr(F.col("query_vec"), F.col("embedding")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -63,3 +63,40 @@ def test_embedding_near_dup_cap_bounds_bucket(spark):
     uncapped = sim.embedding_near_dup(emb, threshold=0.9, bits=4, dim=8, cap=None).count()
     assert uncapped == 30 * 29 // 2
     assert capped == 5 * 4 // 2
+
+
+def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
+    """ivf_build/ivf_query: persisted index queries prune to the probed
+    inverted lists (PartitionFilters on c), and results match the
+    in-memory ivf_topk with the same centroids."""
+    import contextlib
+    import io
+
+    emb = _emb_df(spark, n=60)
+    ids = np.arange(60)
+    vecs = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cents = sim.kmeans_centroids_np(vecs, ids, k=4, iters=2)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_build(emb, path, centroids=cents)
+
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.ivf_query(spark, path, q, k=3, nprobe=2)
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    expect = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sim.ivf_topk(emb, q, k=3, centroids=cents, nprobe=2).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # the index scan carries partition filters on c (pruned to probed lists)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    scan_sections = [s for s in plan.split("Scan parquet") if "PartitionFilters" in s]
+    assert scan_sections, plan
+    assert any("c#" in s.split("PartitionFilters", 1)[1].split("]", 1)[0] for s in scan_sections)

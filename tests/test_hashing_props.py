@@ -59,3 +59,49 @@ def test_identical_texts_collide_distinct_rarely(t1, t2):
     assert fold_hash(t1) == fold_hash(t1)
     if t1 == t2:
         assert fold_hash(t1) == fold_hash(t2)
+
+
+# ---------------------------------------------------------------- CC props
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Iterative min-label propagation ≡ union-find on random graphs
+    (incl. self-loops and duplicate edges)."""
+    from information_extraction_from_biographies_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {int(r["vertex"]): int(r["component"]) for r in connected_components(df).collect()}
+    # union-find reference uses min-id component representative, like the operator
+    expect = _union_find_components(edges)
+    # normalize: map each vertex to the min vertex of its component
+    comp_min = {}
+    for v, root in expect.items():
+        comp_min.setdefault(root, v)
+        comp_min[root] = min(comp_min[root], v)
+    expect_min = {v: comp_min[root] for v, root in expect.items()}
+    assert got == expect_min

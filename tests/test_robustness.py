@@ -76,3 +76,28 @@ def test_pipeline_registry_via_file_matches_broadcast(spark, tmp_path):
     tri_a = {(r.subj, r.pred, r.obj) for r in a.tables["triples"].collect()}
     tri_b = {(r.subj, r.pred, r.obj) for r in b.tables["triples"].collect()}
     assert tri_a == tri_b and len(tri_a) > 0
+
+
+def test_pipeline_user_dict_channel_end_to_end(spark, tmp_path):
+    """N1 through the full pipeline: a dictionary-only name (no trigger
+    context, no kinship template) reaches the people registry and the
+    mention scan when user_dict is supplied, and does not without it."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c-dict", 0, "user", "陳大明（1901-1970）", None, ts),
+        ("c-dict", 1, "user", "某日林俊傑抵達台北參訪。", None, ts),
+    ]
+    tdf = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+    plain = Pipeline(spark, str(tmp_path / "w0"), snapshot_id="p").run(tdf)
+    assert "林俊傑" not in {r["name"] for r in plain.tables["people"].collect()}
+
+    with_dict = Pipeline(
+        spark, str(tmp_path / "w1"), snapshot_id="d", user_dict=["林俊傑"]
+    ).run(tdf)
+    people = {r["name"] for r in with_dict.tables["people"].collect()}
+    assert "林俊傑" in people
+    mentions = {r["person"] for r in with_dict.tables["mentions"].collect()}
+    assert "林俊傑" in mentions

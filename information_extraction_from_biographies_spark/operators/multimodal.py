@@ -14,7 +14,6 @@ Schema convention:
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import numpy as np

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.extraction import KIN_TEMP_TYPE, extract_hometown
 from ..functions.grouped import grouped_map
-from ..functions.matcher import SurfaceIndexHandle, cached_index
+from ..functions.matcher import SurfaceIndexHandle
 from ..functions.relations import extract_relations_for_conv
 from ..functions.timeline import extract_timeline
 

@@ -576,6 +576,19 @@ def _ivf_literals(sf_dir: str, n_centroids: int = 8, nprobe: int = 2):
     return cents, probes
 
 
+def _embedding_dedup_clusters(spark, sf_dir):
+    """Cluster-level embedding dedup (star verify per LSH bucket + CC) —
+    oracled incl. the CC closure, same hyperplane literals."""
+    from information_extraction_from_biographies_spark.operators.similarity import (
+        embedding_dedup_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_dedup_clusters(emb, threshold=0.25, bits=4)
+
+
 def _ann_ivf_topk(spark, sf_dir):
     """IVF ANN with centroids computed once on the driver (pyarrow +
     numpy, deterministic) and shipped as literals — oracle-exact because
@@ -736,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_dedup_clusters": _embedding_dedup_clusters,
         "text_quality": _text_quality,
         "text_lang_scores": _text_lang_scores,
         "text_token_count": _text_token_count,
@@ -785,6 +799,43 @@ def _near_dup_sql() -> str:
                round(list_cosine_similarity(l.e, r.e), 6) AS cosine
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE list_cosine_similarity(l.e, r.e) >= 0.25
+    """
+
+
+def _embedding_clusters_sql(threshold: float = 0.25, bits: int = 4, cap: int = 1000) -> str:
+    """Embedding star-edge + CC clusters — mirrors
+    similarity.embedding_dedup_clusters (same hyperplane literals, exact
+    cosine verify, recursive transitive closure)."""
+    from information_extraction_from_biographies_spark.operators.similarity import hyperplanes
+
+    bucket = _hyperplane_bucket_sql(hyperplanes(64, bits, 13))
+    return f"""
+        WITH RECURSIVE b0 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+          FROM embeddings),
+        b AS (
+          SELECT * FROM b0
+          QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {cap}),
+        star AS (
+          SELECT rep AS vec1, vec_id AS vec2, rep_e AS e1, e AS e2 FROM (
+            SELECT vec_id, e, bucket,
+                   min(vec_id) OVER (PARTITION BY bucket) AS rep,
+                   first_value(e) OVER (PARTITION BY bucket ORDER BY vec_id) AS rep_e
+            FROM b) WHERE vec_id <> rep
+        ),
+        verified AS (
+          SELECT vec1, vec2 FROM star
+          WHERE list_cosine_similarity(e1, e2) >= {threshold}
+        ),
+        sym AS (SELECT vec1 AS src, vec2 AS dst FROM verified
+                UNION SELECT vec2, vec1 FROM verified),
+        walk(v, r) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT w.v, s.dst FROM walk w JOIN sym s ON w.r = s.src)
+        SELECT v AS vec_id, least(v, min(r)) AS cluster,
+               v = least(v, min(r)) AS is_keeper
+        FROM walk GROUP BY v
     """
 
 
@@ -1285,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "embedding_near_dup": _near_dup_sql(),
+        "embedding_dedup_clusters": _embedding_clusters_sql(),
         "ann_lsh_topk": _lsh_topk_sql(k=5, bits=6),
         "ann_ivf_topk": _ivf_topk_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),

@@ -119,6 +119,53 @@ def embedding_near_dup(
     )
 
 
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    dim: int = 64,
+    seed: int = 13,
+    cap: int | None = 1000,
+) -> DataFrame:
+    """Cluster-level embedding dedup: star edges per LSH bucket (member ↔
+    bucket-min vec), exact-cosine verify, connected components →
+    (vec_id, cluster, is_keeper). O(vectors) verifies — the scalable
+    counterpart of embedding_near_dup's pair emission, mirroring
+    dedup.minhash_dedup_clusters."""
+    from .canonicalize import connected_components
+
+    planes = hyperplanes(dim, bits, seed)
+    b = embeddings.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    if cap is not None:
+        wcap = Window.partitionBy("bucket").orderBy("vec_id")
+        b = b.withColumn("_rk", F.row_number().over(wcap)).filter(F.col("_rk") <= cap).drop("_rk")
+    w = Window.partitionBy("bucket")
+    edges = (
+        b.withColumn("_rep", F.min("vec_id").over(w))
+        .withColumn("_rep_e", F.first("embedding").over(w.orderBy("vec_id")))
+        .filter(F.col("vec_id") != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("vec1"),
+            F.col("vec_id").alias("vec2"),
+            F.col("_rep_e").alias("e1"),
+            F.col("embedding").alias("e2"),
+        )
+        # no distinct needed: a single LSH table puts each vec in exactly
+        # one bucket, so (rep, member) pairs are unique by construction
+    )
+    verified = edges.withColumn("cosine", cosine_expr(F.col("e1"), F.col("e2"))).filter(
+        F.col("cosine") >= threshold
+    )
+    comp = connected_components(
+        verified.select(F.col("vec1").alias("src"), F.col("vec2").alias("dst"))
+    )
+    return comp.select(
+        F.col("vertex").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster"),
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8, iters: int = 3) -> list[list[float]]:
     """Deterministic mini-Lloyd: init = lowest-id vectors, refine with
     groupBy-mean over assignments (each iteration = one shuffle). Driver

@@ -49,6 +49,7 @@ HEADLINE = [
     "cc_components",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -105,3 +105,16 @@ def test_connected_components_match_union_find(spark, edges):
         comp_min[root] = min(comp_min[root], v)
     expect_min = {v: comp_min[root] for v, root in expect.items()}
     assert got == expect_min
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer doubling: a 200-hop path (diameter >> max_iter) must fully
+    converge — plain one-hop propagation silently mislabeled it."""
+    from information_extraction_from_biographies_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {int(r["vertex"]): int(r["component"]) for r in connected_components(df).collect()}
+    assert got == {v: 0 for v in range(201)}

@@ -19,6 +19,19 @@ import os
 import sys
 import time
 
+
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — same probe as
+    tools/bench_scaling.py (the harness whose policy the flagship adopts)."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = max(after[0] - before[0], 1)
+    return round(100.0 * (after[1] - before[1]) / dt, 2)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
@@ -204,34 +217,62 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # flagship: KG pipeline throughput — best of K trials (default 2).
-    # The sandbox host is shared and bursty (same-session back-to-back
-    # trials measured 1.5-2x apart); min wall is the least-interference
-    # estimate, the same policy as the scaling harness. All trial walls
-    # are reported for transparency.
+    # Steal-discard trial policy (the scaling harness's policy, adopted
+    # for the flagship and every per-query wall per the round-2 verdict):
+    # the sandbox host is shared and bursty (back-to-back identical
+    # flagship runs measured 3x apart), so each trial records /proc/stat
+    # steal; trials whose steal exceeds SPARK_GRAFT_BENCH_MAX_STEAL
+    # (default 1%) are DISCARDED and the best remaining wall is kept. If
+    # every trial is contaminated, up to SPARK_GRAFT_KG_MAX_TRIALS extra
+    # trials run; if still contaminated, the best contaminated wall is
+    # used and flagged `steal_fallback`. All trials (wall + steal) are
+    # reported for adjudication.
+    max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "1.0"))
     kg_trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
-    trial_walls: list[float] = []
-    wall = n_triples = n_turns = n_cooc = n_entities = None
-    for _ in range(max(kg_trials, 1)):
+    kg_max_trials = int(os.environ.get("SPARK_GRAFT_KG_MAX_TRIALS", "4"))
+    kg_trial_log: list[dict] = []
+    results: dict[float, tuple] = {}
+    while len(kg_trial_log) < kg_max_trials:
+        before = _cpu_stat()
         w, t, u, c, e = kg_pipeline_run(spark, n_convs, career_reps=career_reps)
-        trial_walls.append(round(w, 3))
-        if wall is None or w < wall:
-            wall, n_triples, n_turns, n_cooc, n_entities = w, t, u, c, e
-    queries["kg_pipeline"] = round(wall, 3)
+        steal = _steal_pct(before, _cpu_stat())
+        kg_trial_log.append(
+            {"wall": round(w, 3), "steal_pct": steal, "discarded": steal > max_steal}
+        )
+        results[round(w, 3)] = (t, u, c, e)
+        clean = [tr for tr in kg_trial_log if not tr["discarded"]]
+        if len(kg_trial_log) >= max(kg_trials, 1) and clean:
+            break
+    clean = [tr for tr in kg_trial_log if not tr["discarded"]]
+    kg_steal_fallback = not clean
+    wall = min((tr["wall"] for tr in (clean or kg_trial_log)))
+    n_triples, n_turns, n_cooc, n_entities = results[wall]
+    queries["kg_pipeline"] = wall
     triples_per_sec = n_triples / wall if wall > 0 else 0.0
 
-    # Per-query walls are also best-of-K (same noisy-host policy): a
-    # co-tenant burst can inflate a 0.5s query 10-30x mid-run.
+    # Per-query walls: same best-of-clean policy (a co-tenant burst can
+    # inflate a 0.5s query 10-30x mid-run). One retry beyond the default
+    # K when every trial of a query was steal-contaminated.
     qdict = entry.queries()
+    query_steal: dict[str, list[dict]] = {}
     for name in HEADLINE:
-        best = None
-        for _ in range(max(kg_trials, 1)):
+        trials: list[dict] = []
+        while len(trials) < max(kg_trials, 1) + 1:
+            before = _cpu_stat()
             t0 = time.monotonic()
             df = qdict[name](spark, sf_dir)
             df.count()
             w = time.monotonic() - t0
-            best = w if best is None or w < best else best
-        queries[name] = round(best, 3)
+            steal = _steal_pct(before, _cpu_stat())
+            trials.append(
+                {"wall": round(w, 3), "steal_pct": steal, "discarded": steal > max_steal}
+            )
+            clean_t = [tr for tr in trials if not tr["discarded"]]
+            if len(trials) >= max(kg_trials, 1) and clean_t:
+                break
+        clean_t = [tr for tr in trials if not tr["discarded"]]
+        queries[name] = min(tr["wall"] for tr in (clean_t or trials))
+        query_steal[name] = trials
 
     total = round(sum(queries.values()), 3)
     print(
@@ -243,9 +284,14 @@ def main() -> None:
                 "queries": queries,
                 "vs_prev": _vs_prev(queries, sf),
                 "sf": sf,
+                "steal_policy": {
+                    "max_steal_pct": max_steal,
+                    "kg_steal_fallback": kg_steal_fallback,
+                    "query_trials": query_steal,
+                },
                 "kg": {
                     "n_convs": n_convs,
-                    "trial_walls": trial_walls,
+                    "trials": kg_trial_log,
                     "n_turns": n_turns,
                     "n_triples": n_triples,
                     "n_cooccurrence": n_cooc,

@@ -100,3 +100,40 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     scan_sections = [s for s in plan.split("Scan parquet") if "PartitionFilters" in s]
     assert scan_sections, plan
     assert any("c#" in s.split("PartitionFilters", 1)[1].split("]", 1)[0] for s in scan_sections)
+
+
+def test_sample_embeddings_pq_bounded_read(tmp_path):
+    """The centroid-fitting driver read is O(max_rows), not O(file): on a
+    file bigger than the cap, sample_embeddings_pq stops early (round-2
+    verdict: the full-corpus pq.read_table would OOM the driver at scale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, dim = 5000, 4
+    rng = np.random.RandomState(11)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(rng.normal(size=(n, dim)).tolist()),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+
+    ids, vecs, rows_read = sim.sample_embeddings_pq(path, max_rows=256, batch_size=128)
+    assert len(ids) == 256 and vecs.shape == (256, dim)
+    assert rows_read <= 256 + 128  # at most one extra batch past the cap
+    # deterministic: file order, so the sample is exactly the first rows
+    assert ids.tolist() == list(range(256))
+
+
+def test_ivf_oracle_survives_missing_sf_dir(monkeypatch):
+    """A missing testdata dir must cost only the ann_ivf_topk oracle, not
+    the whole oracle_sql() dict (round-2 ADVICE: the hardcoded-path read
+    used to raise during dict construction, killing every oracle)."""
+    import __spark_entry__ as entry
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent/sfX")
+    oracles = entry.oracle_sql()
+    assert "ann_ivf_topk" not in oracles
+    assert "dedup_minhash_lsh" in oracles and "q1_pricing_summary" in oracles

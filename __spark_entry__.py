@@ -441,6 +441,20 @@ def _broadcast_brand_agg(spark, sf_dir):
 
 
 # ----------------------------------------------- training-data operators
+# One cached copy per key across repeated invocations: the bench harness
+# runs each headline query best-of-K in one long-lived session, so a bare
+# .persist() per call would accumulate cached blocks (round-2 ADVICE).
+_TRACKED_CACHE: dict[str, DataFrame] = {}
+
+
+def _tracked_persist(df: DataFrame, key: str) -> DataFrame:
+    prev = _TRACKED_CACHE.get(key)
+    if prev is not None:
+        prev.unpersist()
+    _TRACKED_CACHE[key] = df.persist()
+    return df
+
+
 def _dedup_exact(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators.dedup import exact_dedup
 
@@ -456,11 +470,13 @@ def _dedup_minhash_lsh(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32).persist()
+    profiles = _tracked_persist(
+        dedup.minhash_profiles(docs, n=5, num_hashes=32), "minhash_profiles"
+    )
     cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
-    return dedup.jaccard_verify(
-        profiles, cand, threshold=0.5, broadcast_sets=True
-    ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    return dedup.jaccard_verify(profiles, cand, threshold=0.5).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def _dedup_clusters(spark, sf_dir):
@@ -471,25 +487,40 @@ def _dedup_clusters(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32).persist()
+    profiles = _tracked_persist(
+        dedup.minhash_profiles(docs, n=5, num_hashes=32), "minhash_profiles"
+    )
     return dedup.minhash_dedup_clusters(profiles, bands=8, cap=1000, threshold=0.5)
 
 
-def _dedup_ngram_jaccard(spark, sf_dir):
+def _dedup_ngram_jaccard(spark, sf_dir, source_cap: int = 1000):
     """Exact char-5-gram Jaccard over a relationally-blocked candidate set
     (doc pairs sharing a source) — the standalone n-gram Jaccard dedup
     channel; same polynomial shingle hashes as MinHash, so the DuckDB
-    oracle mirrors values exactly."""
+    oracle mirrors values exactly. The blocking key is capped like every
+    other blocking join in the repo (round-2 verdict): only the
+    ``source_cap`` lowest doc_ids per source pair up, so one hot source
+    costs O(cap²), not O(n²) — deterministic and mirrored in the oracle's
+    QUALIFY."""
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32)
-    d1 = docs.select(F.col("doc_id").alias("doc1"), "source")
-    d2 = docs.select(F.col("doc_id").alias("doc2"), "source")
+    profiles = _tracked_persist(
+        dedup.minhash_profiles(docs, n=5, num_hashes=32), "minhash_profiles"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (
+        docs.select("doc_id", "source")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= source_cap)
+        .drop("_rk")
+    )
+    d1 = capped.select(F.col("doc_id").alias("doc1"), "source")
+    d2 = capped.select(F.col("doc_id").alias("doc2"), "source")
     cand = d1.join(d2, "source").filter(F.col("doc1") < F.col("doc2")).select("doc1", "doc2")
-    return dedup.jaccard_verify(
-        profiles, cand, threshold=0.15, broadcast_sets=True
-    ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    return dedup.jaccard_verify(profiles, cand, threshold=0.15).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -1005,9 +1036,10 @@ def _dedup_clusters_sql(
     """
 
 
-def _ngram_jaccard_sql(n: int = 5, threshold: float = 0.15) -> str:
+def _ngram_jaccard_sql(n: int = 5, threshold: float = 0.15, source_cap: int = 1000) -> str:
     """Source-blocked exact n-gram Jaccard — same shingle-hash CTE as the
-    MinHash oracle, candidates = same-source doc pairs."""
+    MinHash oracle, candidates = same-source doc pairs, same per-source
+    cap (QUALIFY) as the Spark side."""
     from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
 
     wh = H.window_hash_sql("text", "pos", n)
@@ -1018,9 +1050,13 @@ def _ngram_jaccard_sql(n: int = 5, threshold: float = 0.15) -> str:
                LATERAL unnest(generate_series(1, CAST(length(text) AS BIGINT) - {n - 1})) t(pos)
         ),
         sets AS (SELECT doc_id, list(h) AS shl FROM sh GROUP BY doc_id),
+        dcap AS (
+          SELECT doc_id, source FROM documents
+          QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {source_cap}
+        ),
         cand AS (
           SELECT a.doc_id AS doc1, b.doc_id AS doc2
-          FROM documents a JOIN documents b
+          FROM dcap a JOIN dcap b
             ON a.source = b.source AND a.doc_id < b.doc_id
         )
         SELECT doc1, doc2, round(j, 6) AS jaccard FROM (

@@ -156,19 +156,31 @@ def lsh_candidate_pairs(
 
 def jaccard_verify(
     profiles: DataFrame, candidates: DataFrame, threshold: float = 0.0,
-    broadcast_sets: bool = False,
+    broadcast_sets: bool | str = "auto",
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle-hash sets for candidate pairs:
     (doc1, doc2, jaccard). |A∪B| = |A|+|B|−|A∩B| (cheaper than
     materializing the union array).
 
-    ``broadcast_sets=True`` broadcasts the (doc_id, shingles) side —
-    right whenever the candidate-pair table dwarfs the profile table
-    (template-heavy corpora: measured 5.5x on the sf0.1 bench, the
-    shuffle of array payloads dominates otherwise). Leave False when
-    profiles ~ corpus scale; the join is then a plain shuffled hash
-    join on doc_id."""
+    Join strategy: broadcasting the (doc_id, shingles) side wins when the
+    candidate-pair table dwarfs the profile table (template-heavy corpora:
+    measured 5.5x on the sf0.1 bench — the shuffle of array payloads
+    dominates otherwise), but the broadcast grows with the CORPUS, so a
+    hardcoded True dies at 100x scale regardless of candidate volume
+    (round-2 verdict). ``broadcast_sets="auto"`` (default) measures the
+    profile payload with one aggregate job (exact shingle count — cheap
+    when the caller persists profiles, as the entry points do) and
+    broadcasts only when the estimated plan size fits
+    ``broadcast_max_bytes``; above it the join is a plain shuffled hash
+    join on doc_id — same results, corpus-safe. Pass True/False to force."""
     sets = profiles.select("doc_id", "shingles")
+    if broadcast_sets == "auto":
+        stats = sets.agg(
+            F.count("*").alias("n"), F.sum(F.size("shingles")).alias("sh")
+        ).first()
+        est_bytes = int(stats["sh"] or 0) * 16 + int(stats["n"] or 0) * 64
+        broadcast_sets = est_bytes <= broadcast_max_bytes
     if broadcast_sets:
         sets = F.broadcast(sets)
     j = (

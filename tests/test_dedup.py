@@ -190,3 +190,25 @@ def test_simhash_dedup_clusters(spark):
     assert {d for d, (c, _) in got.items() if c == 0} == {0, 1, 2, 3, 4}
     assert {d for d, (c, _) in got.items() if c == 20} == {20, 21, 22}
     assert got[0][1] and got[20][1]
+
+
+def test_ngram_jaccard_source_cap_bounds_hot_source(spark):
+    """One hot source must produce at most C(cap,2) candidate pairs —
+    the uncapped source-blocking join was the round-2 O(n²) residue."""
+    import __spark_entry__ as entry
+    import pandas as pd
+
+    # 30 docs in one source, 3 in another
+    rows = [(i, "hot", f"document body number {i} with shared words") for i in range(30)]
+    rows += [(100 + i, "cold", f"other text {i} entirely") for i in range(3)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    path = "/tmp/ngram_cap_docs"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    out = entry._dedup_ngram_jaccard(spark, path, source_cap=5)
+    # candidates: C(5,2)=10 from hot (capped from C(30,2)=435) + C(3,2)=3 cold;
+    # verify filters by threshold, so assert via the pre-threshold bound
+    assert out.count() <= 13
+    # the capped survivors are the 5 lowest doc_ids of the hot source
+    docs_seen = {r["doc1"] for r in out.collect()} | {r["doc2"] for r in out.collect()}
+    assert all(d < 5 or d >= 100 for d in docs_seen)

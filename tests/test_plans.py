@@ -86,3 +86,28 @@ def test_jaccard_verify_broadcast_path(spark):
     cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
     plan = plan_of(dedup.jaccard_verify(profiles, cand, broadcast_sets=True))
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_verify_auto_picks_shuffle_for_big_profiles(spark):
+    """broadcast_sets='auto' must fall back to a shuffled hash join when
+    the measured profile payload exceeds the broadcast budget — the
+    corpus-sized-broadcast default was the round-2 scale-inversion."""
+    from information_extraction_from_biographies_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    profiles = dedup.minhash_profiles(docs).persist()
+    cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
+    # disable Catalyst's own size-based auto-broadcast so the plan shows
+    # exactly what OUR hint decided (at sandbox scale the profile table is
+    # tiny and Catalyst would broadcast it regardless — at corpus scale
+    # its size estimate blocks that too)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(dedup.jaccard_verify(profiles, cand, broadcast_max_bytes=1024))
+        assert "BroadcastHashJoin" not in plan  # over budget -> shuffled join
+        plan_b = plan_of(dedup.jaccard_verify(profiles, cand))
+        assert "BroadcastHashJoin" in plan_b  # within budget -> explicit hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    profiles.unpersist()

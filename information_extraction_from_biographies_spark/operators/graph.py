@@ -71,6 +71,63 @@ def timeline_final(timeline: DataFrame) -> DataFrame:
     )
 
 
+def degree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """→ (vertex, degree): undirected degree over the DISTINCT edge set —
+    the reference's first graph analysis (its committed degree
+    distribution, DataBase/graph/degree_lg_37_.png, over the graphs built
+    at Graph.py:8-39). One symmetric union + one hash aggregate with
+    map-side partial counts; no driver-side graph object at any scale."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return (
+        sym.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def neighbors_within(
+    edges: DataFrame, sources: DataFrame, k: int = 2,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """→ (source, vertex, distance): every vertex within ≤ k hops of each
+    source vertex, with its minimum hop distance — the reference's k-hop
+    neighborhood analysis (DataBase/graph/100_neighbors_within_distance_2.png
+    over the Graph.py:8-39 graphs). k equi-joins over the symmetric
+    distinct edge set (k is small by contract, ≤ 3); the frontier is
+    per-source so hub sources fan out across partitions, not the driver.
+
+    ``sources``: one column ``source`` of starting vertices."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    frontier = (
+        sources.join(sym, sources.source == sym.src)
+        .select("source", F.col("dst").alias("vertex"), F.lit(1).alias("distance"))
+        .distinct()
+    )
+    layers = frontier
+    for hop in range(2, k + 1):
+        # distinct per layer: the frontier is a vertex set, not a path
+        # multiset — without it hop h carries one row per PATH and a dense
+        # graph goes combinatorial before the final aggregate
+        frontier = (
+            frontier.join(sym, frontier.vertex == sym.src)
+            .select("source", F.col("dst").alias("vertex"), F.lit(hop).alias("distance"))
+            .distinct()
+        )
+        layers = layers.unionByName(frontier)
+    return (
+        layers.filter(F.col("vertex") != F.col("source"))
+        .groupBy("source", "vertex")
+        .agg(F.min("distance").alias("distance"))
+    )
+
+
 def load_graphml(spark, path: str):
     """S8 inverse: parse a GraphML file — including the reference's own
     committed artifacts (DataBase/graph/*.graphml, written by NetworkX at
@@ -111,23 +168,75 @@ def load_graphml(spark, path: str):
     return nodes_df, edges_df
 
 
-def to_graphml(nodes_pdf, edges_pdf, path: str, directed: bool = True) -> None:
-    """Driver-side GraphML export (fixture scale only — S8)."""
+def to_graphml(nodes_pdf, edges_pdf, path: str, directed: bool | None = None) -> None:
+    """Driver-side GraphML export (fixture scale only — S8), writing the
+    reference's full format (Graph.py:8-23,29-38):
+
+    - node attributes: a ``attrs`` map column (alias_type → alias) emits
+      one <data> per entry, exactly NetworkX's per-node alias-type attrs
+      (insert_all_people_as_nodes, Graph.py:8-13);
+    - edge payload: a ``pred`` column → directed Relation edges
+      (Graph.py:34-35); a ``weight`` column (with ``name1``/``name2``) →
+      the undirected weighted co-occurrence graph (Graph.py:21-23).
+
+    Key declarations carry attr.name so load_graphml's d0/d1 indirection
+    round-trips: to_graphml → load_graphml is the identity on
+    (nodes, edges, attrs)."""
     import xml.sax.saxutils as sx
+
+    weighted = "weight" in edges_pdf.columns
+    if directed is None:
+        directed = not weighted  # reference: DiGraph relations, Graph cooccurrence
+    src_col, dst_col = ("name1", "name2") if weighted else ("subj", "obj")
+
+    node_attr_names: list[str] = []
+    if "attrs" in nodes_pdf.columns:
+        seen = set()
+        for attrs in nodes_pdf["attrs"]:
+            for k in (attrs or {}):
+                if k not in seen:
+                    seen.add(k)
+                    node_attr_names.append(k)
+    key_ids = {name: f"d{i}" for i, name in enumerate(node_attr_names)}
+    edge_key = f"d{len(node_attr_names)}"
 
     lines = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
-        '<key id="d0" for="edge" attr.name="Relation" attr.type="string"/>',
-        f'<graph edgedefault="{"directed" if directed else "undirected"}">',
     ]
+    for name in node_attr_names:
+        lines.append(
+            f'<key id="{key_ids[name]}" for="node" '
+            f"attr.name={sx.quoteattr(name)} attr.type=\"string\"/>"
+        )
+    if weighted:
+        lines.append(
+            f'<key id="{edge_key}" for="edge" attr.name="weight" attr.type="double"/>'
+        )
+    else:
+        lines.append(
+            f'<key id="{edge_key}" for="edge" attr.name="Relation" attr.type="string"/>'
+        )
+    lines.append(f'<graph edgedefault="{"directed" if directed else "undirected"}">')
     for _, row in nodes_pdf.iterrows():
-        lines.append(f'<node id={sx.quoteattr(str(row["name"]))}/>')
+        nid = sx.quoteattr(str(row["name"]))
+        attrs = row["attrs"] if "attrs" in nodes_pdf.columns else None
+        if attrs:
+            lines.append(f"<node id={nid}>")
+            for k, v in attrs.items():
+                lines.append(
+                    f'<data key="{key_ids[k]}">{sx.escape(str(v))}</data>'
+                )
+            lines.append("</node>")
+        else:
+            lines.append(f"<node id={nid}/>")
     for _, row in edges_pdf.iterrows():
-        s = sx.quoteattr(str(row["subj"]))
-        t = sx.quoteattr(str(row["obj"]))
-        p = sx.escape(str(row["pred"]))
-        lines.append(f"<edge source={s} target={t}><data key=\"d0\">{p}</data></edge>")
+        s = sx.quoteattr(str(row[src_col]))
+        t = sx.quoteattr(str(row[dst_col]))
+        v = sx.escape(str(row["weight"] if weighted else row["pred"]))
+        lines.append(
+            f'<edge source={s} target={t}><data key="{edge_key}">{v}</data></edge>'
+        )
     lines += ["</graph>", "</graphml>"]
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))

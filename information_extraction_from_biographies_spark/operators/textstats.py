@@ -38,14 +38,12 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, lang): argmax of the stopword scores, deterministic
-    alphabetical tie-break — the doc-level language assignment over
-    language_scores."""
-    scored = language_scores(docs, text_col)
+def _argmax_lang_col():
+    """Argmax of the score_<lang> columns, deterministic alphabetical
+    tie-break (first max wins)."""
     langs = sorted(_STOPWORDS)
     best = None
-    for lang in langs:  # alphabetical: first max wins ties
+    for lang in langs:
         cond = F.lit(True)
         for other in langs:
             if other < lang:
@@ -53,7 +51,22 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             elif other > lang:
                 cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    return scored.select("doc_id", F.coalesce(best, F.lit(langs[0])).alias("lang"))
+    return F.coalesce(best, F.lit(langs[0])).alias("lang")
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang): argmax of the stopword scores, deterministic
+    alphabetical tie-break — the doc-level language assignment over
+    language_scores."""
+    return language_profile(docs, text_col).select("doc_id", "lang")
+
+
+def language_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, score_<lang>..., lang): per-language stopword scores AND
+    the argmax assignment in one pass — the counts are computed once and
+    both outputs ride the same projection (no second scan)."""
+    scored = language_scores(docs, text_col)
+    return scored.select("doc_id", *[f"score_{lang}" for lang in _STOPWORDS], _argmax_lang_col())
 
 
 def _count_words(text_col: str, words: list[str]):

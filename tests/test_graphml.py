@@ -114,3 +114,99 @@ def test_automaton_over_reference_name_registry(spark):
     text = "當日" + "、".join(probe_names) + "等人均出席盛會。"
     found = {person for person, _s, _k in idx.persons_in(text)}
     assert set(probe_names) <= found
+
+
+def test_degree_and_khop_hand_graph(spark):
+    """degree + neighbors_within vs hand-computed values on a path-plus-
+    triangle graph (the reference's committed analyses: degree
+    distribution and 2-hop neighborhoods, DataBase/graph/*.png)."""
+    from information_extraction_from_biographies_spark.operators.graph import (
+        degree,
+        neighbors_within,
+    )
+
+    # triangle a-b-c plus tail c-d-e (duplicate edge rows must not double-count)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("a", "b")],
+        "src string, dst string",
+    )
+    deg = {r["vertex"]: r["degree"] for r in degree(edges).collect()}
+    assert deg == {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+
+    sources = spark.createDataFrame([("a",)], "source string")
+    hops = {
+        (r["vertex"]): r["distance"]
+        for r in neighbors_within(edges, sources, k=2).collect()
+    }
+    # from a: b,c at 1; d at 2 (via c); e is at 3 -> absent; a itself excluded
+    assert hops == {"b": 1, "c": 1, "d": 2}
+
+
+def test_graphml_writer_full_reference_format(spark, tmp_path):
+    """to_graphml now writes the reference's complete format — node
+    alias-type attrs (Graph.py:8-13) and weighted undirected co-occurrence
+    edges (Graph.py:21-23) — and load_graphml round-trips both."""
+    import pandas as pd
+
+    from information_extraction_from_biographies_spark.operators.graph import (
+        load_graphml,
+        to_graphml,
+    )
+
+    nodes_pdf = pd.DataFrame(
+        {
+            "name": ["陳一", "林二", "黃三"],
+            "attrs": [{"字": "子安", "英文名": "Chen I"}, {"號": "竹軒"}, None],
+        }
+    )
+    # weighted co-occurrence mode (name1/name2/weight)
+    edges_pdf = pd.DataFrame(
+        {"name1": ["陳一", "林二"], "name2": ["林二", "黃三"], "weight": [1.2, 0.66]}
+    )
+    path = str(tmp_path / "cooc.graphml")
+    to_graphml(nodes_pdf, edges_pdf, path)
+    nodes, edges = load_graphml(spark, path)
+    got_nodes = {r["id"]: dict(r["attrs"]) for r in nodes.collect()}
+    assert got_nodes == {
+        "陳一": {"字": "子安", "英文名": "Chen I"},
+        "林二": {"號": "竹軒"},
+        "黃三": {},
+    }
+    got_edges = {(r["src"], r["dst"], r["attrs"]["weight"]) for r in edges.collect()}
+    assert got_edges == {("陳一", "林二", "1.2"), ("林二", "黃三", "0.66")}
+
+    # Relation mode with attrs still round-trips
+    rel_edges = pd.DataFrame(
+        {"subj": ["陳一"], "pred": ["推薦"], "obj": ["林二"]}
+    )
+    path2 = str(tmp_path / "rel.graphml")
+    to_graphml(nodes_pdf, rel_edges, path2)
+    n2, e2 = load_graphml(spark, path2)
+    assert {r["id"]: dict(r["attrs"]) for r in n2.collect()}["陳一"] == {
+        "字": "子安", "英文名": "Chen I"
+    }
+    assert [(r["src"], r["dst"], r["attrs"]["Relation"]) for r in e2.collect()] == [
+        ("陳一", "林二", "推薦")
+    ]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_GRAPH_DIR), reason="reference artifacts not present"
+)
+def test_degree_over_reference_graph(spark):
+    """Degree analysis runs directly over the reference's committed
+    relation graph: handshake identity sum(degree) = 2·|distinct sym
+    pairs| and every graph vertex gets a degree row."""
+    from information_extraction_from_biographies_spark.operators.graph import (
+        degree,
+        load_graphml,
+    )
+
+    _nodes, edges = load_graphml(spark, f"{REF_GRAPH_DIR}/relation_network.graphml")
+    deg = degree(edges)
+    total = deg.agg({"degree": "sum"}).first()[0]
+    from pyspark.sql import functions as F
+    e = edges.select("src", "dst").distinct()
+    sym = e.union(e.select(F.col("dst"), F.col("src"))).distinct()
+    assert total == sym.count()
+    assert deg.count() == sym.select("src").distinct().count()

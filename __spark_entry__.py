@@ -88,11 +88,12 @@ def _kg_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotator condensation (Get_Timeline.py:63-83). Rows-only (NLP)."""
     from information_extraction_from_biographies_spark.operators import graph, triples
 
-    turns, *_ = _kg_tables(spark)
+    turns, _m, _ca, _p, _a, index = _kg_tables(spark)
+    surfaces = sorted({s for (s, _p2, _k) in index.rows})
     raw = graph.timeline_final(triples.timeline_table(turns))
-    concise = graph.timeline_final(triples.timeline_table(turns, concise=True)).select(
-        "conv_id", "year", F.col("event").alias("event_concise")
-    )
+    concise = graph.timeline_final(
+        triples.timeline_table(turns, concise=True, surfaces=surfaces)
+    ).select("conv_id", "year", F.col("event").alias("event_concise"))
     return raw.join(concise, ["conv_id", "year"], "left")
 
 
@@ -521,7 +522,13 @@ def _dedup_ngram_jaccard(spark, sf_dir, source_cap: int = 1000):
 
 def _dedup_simhash(spark, sf_dir):
     """60-bit SimHash (pure column expressions, md5-derived token hash)
-    with chunk-blocked hamming pairs — oracled exactly in DuckDB."""
+    with chunk-blocked hamming pairs — oracled exactly in DuckDB.
+    max_hamming=6 auto-selects 7-band blocking — pigeonhole-EXACT at
+    radius 6 (the classic 4×15-bit layout is complete only to hamming 3
+    and silently lost 4-6 recall; round-2 ADVICE flagged it, though its
+    combo-key suggestion shrinks the candidate set rather than growing
+    it — see dedup._resolve_bands). The oracle mirrors the same band
+    layout, so the parity check covers the now-exact candidate set."""
     from information_extraction_from_biographies_spark.operators import dedup
 
     sim = dedup.simhash(_t(spark, sf_dir, "documents"))
@@ -1107,10 +1114,13 @@ def _ngram_jaccard_sql(n: int = 5, threshold: float = 0.15, source_cap: int = 10
     """
 
 
-def _simhash_ctes(cap: int = 1000, recursive: bool = False) -> str:
+def _simhash_ctes(cap: int = 1000, recursive: bool = False, bands: int = 4) -> str:
     """Shared DuckDB CTE block for the SimHash oracles: md5-derived token
-    hash, 60 bit votes, simhash, chunk keys, capped buckets."""
+    hash, 60 bit votes, simhash, band keys (the SAME variable-width
+    band_bounds layout as the Spark side — bands = max_hamming+1 is the
+    pigeonhole-exact construction), capped buckets."""
     from information_extraction_from_biographies_spark.functions import hashing as H  # noqa: N812
+    from information_extraction_from_biographies_spark.operators.dedup import band_bounds
 
     th = H.tok_hash60_sql("tok")
     votes = ",\n                 ".join(
@@ -1122,8 +1132,8 @@ def _simhash_ctes(cap: int = 1000, recursive: bool = False) -> str:
     )
     chunk_keys = "\n          UNION ALL\n          ".join(
         f"SELECT doc_id, simhash, {c} AS band, "
-        f"CAST((simhash >> {c * 15}) & 32767 AS VARCHAR) AS k FROM sh"
-        for c in range(4)
+        f"CAST((simhash >> {off}) & {(1 << w) - 1} AS VARCHAR) AS k FROM sh"
+        for c, (off, w) in enumerate(band_bounds(bands))
     )
     return f"""
         WITH {"RECURSIVE " if recursive else ""}toks AS (
@@ -1146,8 +1156,10 @@ def _simhash_ctes(cap: int = 1000, recursive: bool = False) -> str:
 
 def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
     """60-bit SimHash chain in DuckDB: same md5-derived token hash, same
-    bit votes, same 15-bit chunk blocking + cap, same hamming verify."""
-    return f"""{_simhash_ctes(cap)},
+    bit votes, same band blocking (max_hamming+1 variable-width bands,
+    matching the Spark auto-selection — pigeonhole-exact at the radius)
+    + cap, same hamming verify."""
+    return f"""{_simhash_ctes(cap, bands=max(4, max_hamming + 1))},
         pairs AS (
           SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
                           l.simhash AS s1, r.simhash AS s2
@@ -1161,8 +1173,9 @@ def _simhash_sql(max_hamming: int = 6, cap: int = 1000) -> str:
 
 def _simhash_clusters_sql(max_hamming: int = 6, cap: int = 1000) -> str:
     """SimHash star-edge + CC clusters — mirrors simhash_dedup_clusters
-    (bucket-min rep, hamming verify, recursive transitive closure)."""
-    return f"""{_simhash_ctes(cap, recursive=True)},
+    (bucket-min rep, hamming verify, recursive transitive closure; same
+    max_hamming+1-band exact blocking as the Spark auto-selection)."""
+    return f"""{_simhash_ctes(cap, recursive=True, bands=max(4, max_hamming + 1))},
         star AS (
           SELECT DISTINCT rep AS doc1, doc2, rep_sim AS s1, s2 FROM (
             SELECT doc_id AS doc2, simhash AS s2, band, k,

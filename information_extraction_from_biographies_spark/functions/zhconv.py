@@ -106,6 +106,12 @@ def _convert_col(
     col: Column | str, phrases: dict, order: list[str], holders: dict, chars: str, out: str
 ) -> Column:
     c = F.col(col) if isinstance(col, str) else col
+    if order:
+        # input that already contains our private-use placeholder
+        # codepoints would be rewritten into phrase targets by the
+        # restore pass — strip them first (they are PUA chars with no
+        # legitimate reading in biography text; round-2 ADVICE)
+        c = F.translate(c, "".join(holders[p] for p in order), "")
     for p in order:  # phrase layer first, longest-first, into placeholders
         c = F.replace(c, F.lit(p), F.lit(holders[p]))
     c = F.translate(c, chars, out)
@@ -127,6 +133,11 @@ def to_traditional(col: Column | str) -> Column:
 def _convert_str(
     text: str, phrases: dict, order: list[str], holders: dict, mapping: dict[str, str]
 ) -> str:
+    if order:
+        # strip pre-existing placeholder codepoints (see _convert_col)
+        drop = {holders[p] for p in order}
+        if any(h in text for h in drop):
+            text = "".join(ch for ch in text if ch not in drop)
     for p in order:
         if p in text:
             text = text.replace(p, holders[p])

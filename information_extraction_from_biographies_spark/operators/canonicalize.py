@@ -65,6 +65,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    comp_type = labels.schema["component"].dataType
     converged = False
     for it in range(max_iter):
         if salt > 1:
@@ -82,10 +83,16 @@ def connected_components(
             prop = sym.join(labels, sym.src == labels.vertex, "inner").select(
                 F.col("dst").alias("vertex"), "component"
             )
+        # Carry each vertex's PREVIOUS label (_old) through the step so the
+        # convergence check folds into the same aggregation/job that
+        # materializes the new labels — no separate join+limit(1).count()
+        # job per iteration (each vertex has exactly one labels row, so
+        # min(_old) ignoring the prop-side nulls recovers it exactly).
         stepped = (
-            labels.unionByName(prop)
+            labels.select("vertex", "component", F.col("component").alias("_old"))
+            .unionByName(prop.withColumn("_old", F.lit(None).cast(comp_type)))
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("_old").alias("_old"))
         )
         # pointer doubling: label(v) := min(label(v), label(label(v))).
         # Every component label is itself a vertex id present in the label
@@ -101,22 +108,23 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("_lc"), F.col("component"))
                 ).alias("component"),
+                "_old",
             )
             .localCheckpoint(eager=False)
         )
         if it == 0:
             # first propagation always changes something on any non-trivial
             # graph — skip one convergence-check job
-            labels = new_labels
+            labels = new_labels.select("vertex", "component")
             continue
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # ONE action: materializes the lazy checkpoint AND returns the
+        # changed-label count from the same scan.
+        changed = new_labels.agg(
+            F.coalesce(
+                F.sum((F.col("component") != F.col("_old")).cast("int")), F.lit(0)
+            ).alias("n")
+        ).first()["n"]
+        labels = new_labels.select("vertex", "component")
         if changed == 0:
             converged = True
             break

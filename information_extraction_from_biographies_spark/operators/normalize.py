@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.extraction import extract_title
@@ -68,3 +68,79 @@ def normalize_shared(
     rest = base.filter(F.col("turn_idx") != 0).withColumn("norm_text", F.col("text"))
     turns = enriched0.select(*TURN_COLS, "norm_text").unionByName(rest)
     return turns, meta, enriched0
+
+
+def group_footnotes(
+    lines: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+) -> DataFrame:
+    """A5 — footnote line grouping (Preprocess.py:134-148 semantics):
+    a line containing a space starts a new footnote — numbering = the
+    first space-separated token, initial text = the SECOND token only
+    (the reference's ``pair[1]`` drops anything past a second space; the
+    quirk is reproduced) — and a line with no space appends ``\\n + line``
+    to the footnote opened by the most recent numbered line. Continuation
+    lines before any numbered line have no anchor (the reference would
+    index [-1] into an empty list) and are dropped.
+
+    Pure window + ordered-aggregate: ``last(numbered line_idx,
+    ignorenulls)`` anchors each line, one hash aggregate per footnote —
+    no per-row Python, one shuffle. → (conv_id, numbering,
+    footnote_text), plus ``_anchor`` for stable ordering."""
+    has_num = F.size(F.split(F.col(line_col), " ")) != 1
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    anchored = lines.withColumn(
+        "_anchor",
+        F.last(F.when(has_num, F.col(idx_col)), ignorenulls=True).over(w),
+    ).filter(F.col("_anchor").isNotNull())
+    arr = F.array_sort(F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(line_col).alias("l"))))
+    grouped = anchored.groupBy(conv_col, "_anchor").agg(arr.alias("_arr"))
+    first_line = F.col("_arr")[0]["l"]
+    head_text = F.element_at(F.split(first_line, " "), 2)
+    tail = F.transform(
+        F.slice(F.col("_arr"), 2, F.greatest(F.size("_arr") - 1, F.lit(0))),
+        lambda s: s["l"],
+    )
+    return grouped.select(
+        conv_col,
+        "_anchor",
+        F.split_part(first_line, F.lit(" "), F.lit(1)).alias("numbering"),
+        F.array_join(F.concat(F.array(head_text), tail), "\n").alias("footnote_text"),
+    )
+
+
+def footnotes_array(footnotes: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """→ (conv_id, footnotes array<struct<numbering,footnote_text>>) in
+    text order — the documented docs-schema ``Footnotes`` array
+    (Convert_And_Extract.py:79-81 upsert shape)."""
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_anchor").alias("a"), F.struct("numbering", "footnote_text").alias("f")))
+        ),
+        lambda s: s["f"],
+    )
+    return footnotes.groupBy(conv_col).agg(arr.alias("footnotes"))
+
+
+def normalize_with_footnotes(
+    transcripts: DataFrame, footnote_role: str = "footnote"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stage-0 variant that routes footnote turns (role ==
+    ``footnote_role``) out of the main turn stream into the grouped
+    Footnotes table: → (turns, meta + footnotes column, footnotes).
+    Content turns flow through normalize() unchanged, so the per-turn
+    text-equality invariant still holds on the content stream."""
+    content = transcripts.filter(F.col("role") != footnote_role)
+    fn_lines = transcripts.filter(F.col("role") == footnote_role).select(
+        "conv_id", F.col("turn_idx").alias("line_idx"), F.col("text").alias("line")
+    )
+    turns, meta = normalize(content)
+    footnotes = group_footnotes(fn_lines)
+    meta = meta.join(footnotes_array(footnotes), "conv_id", "left")
+    return turns, meta, footnotes

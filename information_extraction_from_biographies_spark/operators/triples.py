@@ -150,18 +150,38 @@ def vital_triples(meta: DataFrame) -> DataFrame:
     return born.unionByName(died).unionByName(authored)
 
 
-def timeline_table(turns: DataFrame, concise: bool = False) -> DataFrame:
+def timeline_table(
+    turns: DataFrame, concise: bool = False, surfaces: list[str] | None = None
+) -> DataFrame:
     """N6 — (conv_id, year, event, start_pos); A6 last-wins applied by the
     materialize stage with a window, not here. ``concise=True`` condenses
     each event through the dependency annotator (Get_Timeline.py:63-83;
-    the reference emits both variants side by side)."""
+    the reference emits both variants side by side).
+
+    ``surfaces``: known person surfaces (registry names + aliases) for
+    the concise annotator's lexicon, so person mentions segment as NR and
+    nsubj/csubj condensation sees them as subjects — the reference's
+    parse runs with its full vocabulary (Get_Timeline.py:66), so an empty
+    lexicon here weakened condensation (round-2 ADVICE). The lexicon
+    index is built lazily ONCE per deserialized task closure, not per
+    conversation."""
+    lex_holder: dict[str, dict] = {}
 
     def _tl(pdf: pd.DataFrame) -> pd.DataFrame:
+        lex = None
+        if concise and surfaces is not None:
+            lex = lex_holder.get("lex")
+            if lex is None:
+                from ..functions.relations import build_lex_index
+
+                lex = build_lex_index(surfaces)
+                lex_holder["lex"] = lex
         conv_id = pdf["conv_id"].iloc[0]
         ordered = pdf.sort_values("turn_idx")
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         rows = [
-            (conv_id, y, e, s) for (y, e, s) in extract_timeline(text, concise=concise)
+            (conv_id, y, e, s)
+            for (y, e, s) in extract_timeline(text, concise=concise, lex_index=lex)
         ]
         return pd.DataFrame(rows, columns=["conv_id", "year", "event", "start_pos"])
 

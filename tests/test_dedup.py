@@ -212,3 +212,34 @@ def test_ngram_jaccard_source_cap_bounds_hot_source(spark):
     # the capped survivors are the 5 lowest doc_ids of the hot source
     docs_seen = {r["doc1"] for r in out.collect()} | {r["doc2"] for r in out.collect()}
     assert all(d < 5 or d >= 100 for d in docs_seen)
+
+
+def test_simhash_band_blocking_exact_at_radius(spark):
+    """bands = max_hamming+1 blocking is pigeonhole-exact: the blocked
+    pairs at hamming <= 6 equal the brute-force all-pairs answer (the
+    4-chunk layout was complete only to 3; combo keys are a strict
+    candidate SUBSET, not a recall fix)."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    rows = [(i, f"alpha beta gamma delta w{i % 7} x{i % 5} y{i % 3} z{i}") for i in range(60)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sim = dedup.simhash(docs)
+    sim_map = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sim_map), 2)
+        if bin(sim_map[a] ^ sim_map[b]).count("1") <= 6
+    }
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.simhash_near_pairs(sim, max_hamming=6, cap=None).collect()
+    }
+    assert got == brute
+    # combo candidates are a subset of single-band candidates
+    got_combo = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.simhash_near_pairs(sim, max_hamming=6, cap=None, combo=True).collect()
+    }
+    assert got_combo <= got

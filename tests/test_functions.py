@@ -252,3 +252,37 @@ def test_n1_longest_match_consumes_span():
     # cannot re-trigger the shorter entry
     idx = build_name_dict_index(["王大", "王大明"])
     assert segment_names("王大明到訪。", idx) == {"王大明"}
+
+
+def test_concise_timeline_lexicon_threading(spark):
+    """timeline_table(concise=True, surfaces=...) reaches the dependency
+    annotator with the conversation's person lexicon: a known surface
+    segments as NR and nsubj condensation fires; without the lexicon the
+    event falls back to the raw span (round-2 ADVICE: the lex_index
+    parameter was unreachable from the operator)."""
+    from information_extraction_from_biographies_spark.operators.triples import timeline_table
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "民國35年（1946），被陳泗治推薦任教。")],
+        "conv_id string, turn_idx int, norm_text string",
+    )
+    with_lex = timeline_table(turns, concise=True, surfaces=["陳泗治"]).collect()
+    assert [r["event"] for r in with_lex] == ["陳泗治推薦"]
+    without = timeline_table(turns, concise=True).collect()
+    assert [r["event"] for r in without] == ["被陳泗治推薦任教"]
+
+
+def test_zhconv_preexisting_pua_placeholders_stripped():
+    """Text already containing the s2t phrase-layer PUA placeholder
+    codepoints must not be rewritten into phrase targets (round-2
+    ADVICE): the guard strips them before the phrase pass."""
+    from information_extraction_from_biographies_spark.functions.zhconv import (
+        _S2T_ORDER,
+        _S2T_PLACEHOLDER,
+        s2t,
+    )
+
+    hostile = _S2T_PLACEHOLDER[_S2T_ORDER[0]] + "后来发展"
+    out = s2t(hostile)
+    assert _S2T_ORDER[0] not in out  # placeholder did not resurrect a phrase
+    assert out == s2t("后来发展")  # equivalent to the clean input

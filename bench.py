@@ -120,11 +120,14 @@ def kg_pipeline_run(
     mark("start")
     # Action structure tuned for sandbox fixed costs AND concurrency:
     # (1) the driver-side registry collect materializes the cached
-    #     turns/extraction chain as a side effect,
-    # (2) one job materializes the fused stage-2 pass,
-    # (3) the independent downstream branches (triples, co-occurrence,
-    #     entities/CC) run as CONCURRENT jobs from driver threads — their
-    #     shared inputs are already cached, so no cache-lock serialization.
+    #     turns/extraction chain as a side effect — the probe dictionary
+    #     comes from the FUSED one-shuffle surfaces aggregate
+    #     (registry_surfaces_fused), not the 3-shuffle registry chain,
+    # (2) the entities/CC branch depends only on the registry, so its
+    #     serial join-iteration latency OVERLAPS the fused stage-2 python
+    #     pass (submitted before it),
+    # (3) the remaining branches (triples, co-occurrence) run as
+    #     concurrent jobs over the cached fused output.
     turns, meta = normalize.normalize(tdf)
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     # ONE shuffle+sort of the big table, shared by both python passes
@@ -139,19 +142,19 @@ def kg_pipeline_run(
     people, aliases = mentions.build_registry(conv_names, conv_aliases)
     people = people.persist()
     aliases = aliases.persist()
-    surfaces_df = mentions.registry_surfaces(people, aliases)
+    surfaces_df = mentions.registry_surfaces_fused(conv_names, conv_aliases)
     index = scan.build_surface_index(surfaces_df)  # action 1 (collect)
     mark("index")
+
+    from concurrent.futures import ThreadPoolExecutor
+
     fused = stage2.fused_scan_extract(turns, meta, index, pre_sorted=True).persist()
+    entities = canonicalize.entity_table(people, aliases)
     n_turns = turns.count()
     n_fused = fused.count()  # action 2: materialize the fused pass
     mark("fused")
     triple_rows = stage2.all_triples_fused(fused, conv_aliases, meta)
     cooc = stage2.cooc_scores(fused)
-    entities = canonicalize.entity_table(people, aliases)
-
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_tri = pool.submit(triple_rows.count)
         f_cooc = pool.submit(cooc.count)

@@ -329,27 +329,29 @@ def _resolve_bands(bands: int | None, max_hamming: int) -> int:
     return bands
 
 
-def _band_key_exprs(sim: DataFrame, bands: int, combo: bool):
-    """(chunked_df, key_exprs): per-band chunk columns + the blocking key
-    expressions (single-band, or C(bands,2) two-band combos for the
-    giant-bucket regime — combo shrinks buckets, it does not add recall)."""
-    chunks = sim
-    for c, (off, w) in enumerate(band_bounds(bands)):
-        chunks = chunks.withColumn(
-            f"c{c}",
-            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-                F.lit((1 << w) - 1)
-            ),
-        )
+def _banded_simhash(sim: DataFrame, bands: int, combo: bool) -> DataFrame:
+    """(doc_id, simhash, band, k): ONE posexplode over an array of band
+    keys — every band comes out of a single scan/aggregation of the
+    simhash subtree, not a bands-way union that recomputes the 60-vote
+    aggregate per branch (measured 2x+ on the sf0.1 bench at 7 bands;
+    same single-scan design as lsh_candidate_pairs). Keys are single-band
+    chunk values, or C(bands,2) two-band combos for the giant-bucket
+    regime — combo shrinks buckets, it does not add recall."""
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        for (off, w) in band_bounds(bands)
+    ]
     if combo:
-        key_exprs = [
-            F.concat_ws(":", F.col(f"c{i}"), F.col(f"c{j}"))
-            for i in range(bands)
-            for j in range(i + 1, bands)
-        ]
+        keys = F.array(
+            *[
+                F.concat_ws(":", chunk_cols[i], chunk_cols[j])
+                for i in range(bands)
+                for j in range(i + 1, bands)
+            ]
+        )
     else:
-        key_exprs = [F.col(f"c{c}").cast("string") for c in range(bands)]
-    return chunks, key_exprs
+        keys = F.array(*[c.cast("string") for c in chunk_cols])
+    return sim.select("doc_id", "simhash", F.posexplode(keys).alias("band", "k"))
 
 
 def simhash_dedup_clusters(
@@ -365,26 +367,19 @@ def simhash_dedup_clusters(
     from .canonicalize import connected_components
 
     bands = _resolve_bands(bands, max_hamming)
-    chunks, key_exprs = _band_key_exprs(sim, bands, combo)
-    edges = None
-    for kid, key_expr in enumerate(key_exprs):
-        keyed = chunks.select(
-            "doc_id", "simhash", F.lit(kid).alias("band"), key_expr.alias("k")
+    keyed = _cap_bucket(_banded_simhash(sim, bands, combo), ["band", "k"], cap)
+    w = Window.partitionBy("band", "k")
+    edges = (
+        keyed.withColumn("_rep", F.min("doc_id").over(w))
+        .withColumn("_rep_sim", F.min(F.struct("doc_id", "simhash")).over(w)["simhash"])
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("doc1"),
+            F.col("doc_id").alias("doc2"),
+            F.col("_rep_sim").alias("s1"),
+            F.col("simhash").alias("s2"),
         )
-        keyed = _cap_bucket(keyed, ["band", "k"], cap)
-        w = Window.partitionBy("band", "k")
-        e = (
-            keyed.withColumn("_rep", F.min("doc_id").over(w))
-            .withColumn("_rep_sim", F.min(F.struct("doc_id", "simhash")).over(w)["simhash"])
-            .filter(F.col("doc_id") != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("doc1"),
-                F.col("doc_id").alias("doc2"),
-                F.col("_rep_sim").alias("s1"),
-                F.col("simhash").alias("s2"),
-            )
-        )
-        edges = e if edges is None else edges.unionByName(e)
+    )
     verified = (
         edges.distinct()
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
@@ -417,26 +412,18 @@ def simhash_near_pairs(
     candidates are a strict subset of the single-band candidates.
     ``cap`` bounds any remaining hot bucket (see _cap_bucket)."""
     bands = _resolve_bands(bands, max_hamming)
-    chunks, key_exprs = _band_key_exprs(sim, bands, combo)
-
-    pairs = None
-    for kid, key_expr in enumerate(key_exprs):
-        keyed = chunks.select(
-            "doc_id", F.col("simhash"), F.lit(kid).alias("band"), key_expr.alias("k")
-        )
-        keyed = _cap_bucket(keyed, ["band", "k"], cap)
-        left = keyed.select(
-            "band", "k", F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1")
-        )
-        right = keyed.select(
-            "band", "k", F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2")
-        )
-        p = (
-            left.join(right, ["band", "k"])
-            .filter(F.col("doc1") < F.col("doc2"))
-            .select("doc1", "doc2", "s1", "s2")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    keyed = _cap_bucket(_banded_simhash(sim, bands, combo), ["band", "k"], cap)
+    left = keyed.select(
+        "band", "k", F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1")
+    )
+    right = keyed.select(
+        "band", "k", F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2")
+    )
+    pairs = (
+        left.join(right, ["band", "k"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "s1", "s2")
+    )
     return (
         pairs.distinct()
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))

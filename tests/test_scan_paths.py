@@ -110,3 +110,28 @@ def test_timeline_table_concise_end_to_end(spark):
     assert got == {(1951, "創立報社"), (1953, "聲名遠播")}
     full = {(r["year"], r["event"]) for r in timeline_table(turns).collect()}
     assert full == {(1951, "與友人創立報社而聞名"), (1953, "聲名遠播")}
+
+
+def test_registry_surfaces_fused_parity(spark):
+    """The one-shuffle fused surfaces aggregate equals the 3-shuffle
+    registry chain (modulo null surfaces, which the automaton ignores)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.operators import mentions, normalize
+
+    tdf = fx.transcripts_sdf(spark, fx.make_fixture(n_convs=12, seed=21))
+    turns, meta = normalize.normalize(tdf)
+    conv_names, conv_aliases = mentions.extract_people(turns, meta)
+    people, aliases = mentions.build_registry(conv_names, conv_aliases)
+    old = {
+        (r["person"], r["surface"], r["kind"])
+        for r in mentions.registry_surfaces(people, aliases)
+        .filter(F.col("surface").isNotNull())
+        .collect()
+    }
+    new = {
+        (r["person"], r["surface"], r["kind"])
+        for r in mentions.registry_surfaces_fused(conv_names, conv_aliases).collect()
+    }
+    assert new == old and len(new) > 0

@@ -473,8 +473,12 @@ def _dedup_minhash_lsh(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # the sandbox documents.parquet is one row group (unsplittable -> one
+    # task); repartition restores the scan parallelism a multi-split
+    # corpus has natively, for one tiny shuffle of raw text
+    par = spark.sparkContext.defaultParallelism
     profiles = _tracked_persist(
-        lambda: dedup.minhash_profiles(docs, n=5, num_hashes=32),
+        lambda: dedup.minhash_profiles(docs.repartition(par), n=5, num_hashes=32),
         f"minhash_profiles:{sf_dir}",
     )
     cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
@@ -491,8 +495,12 @@ def _dedup_clusters(spark, sf_dir):
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # the sandbox documents.parquet is one row group (unsplittable -> one
+    # task); repartition restores the scan parallelism a multi-split
+    # corpus has natively, for one tiny shuffle of raw text
+    par = spark.sparkContext.defaultParallelism
     profiles = _tracked_persist(
-        lambda: dedup.minhash_profiles(docs, n=5, num_hashes=32),
+        lambda: dedup.minhash_profiles(docs.repartition(par), n=5, num_hashes=32),
         f"minhash_profiles:{sf_dir}",
     )
     return dedup.minhash_dedup_clusters(profiles, bands=8, cap=1000, threshold=0.5)
@@ -510,8 +518,12 @@ def _dedup_ngram_jaccard(spark, sf_dir, source_cap: int = 1000):
     from information_extraction_from_biographies_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # the sandbox documents.parquet is one row group (unsplittable -> one
+    # task); repartition restores the scan parallelism a multi-split
+    # corpus has natively, for one tiny shuffle of raw text
+    par = spark.sparkContext.defaultParallelism
     profiles = _tracked_persist(
-        lambda: dedup.minhash_profiles(docs, n=5, num_hashes=32),
+        lambda: dedup.minhash_profiles(docs.repartition(par), n=5, num_hashes=32),
         f"minhash_profiles:{sf_dir}",
     )
     w = Window.partitionBy("source").orderBy("doc_id")

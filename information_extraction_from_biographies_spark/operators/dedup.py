@@ -158,6 +158,7 @@ def jaccard_verify(
     profiles: DataFrame, candidates: DataFrame, threshold: float = 0.0,
     broadcast_sets: bool | str = "auto",
     broadcast_max_bytes: int = 256 * 1024 * 1024,
+    spread_candidates: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle-hash sets for candidate pairs:
     (doc1, doc2, jaccard). |A∪B| = |A|+|B|−|A∩B| (cheaper than
@@ -173,7 +174,20 @@ def jaccard_verify(
     when the caller persists profiles, as the entry points do) and
     broadcasts only when the estimated plan size fits
     ``broadcast_max_bytes``; above it the join is a plain shuffled hash
-    join on doc_id — same results, corpus-safe. Pass True/False to force."""
+    join on doc_id — same results, corpus-safe. Pass True/False to force.
+
+    ``spread_candidates``: repartition the candidate pairs to the
+    session's default parallelism before the verify join. The verify is
+    CPU-heavy (array_intersect over shingle sets) but its input is
+    byte-tiny (two longs/pair), so AQE's byte-based coalescing packs it
+    into a handful of partitions and serializes the intersect work
+    (measured 10.9s → 2.9s at sf0.1 for 200k candidates). The extra
+    shuffle moves only (doc1, doc2) longs — negligible next to the
+    verify compute at any scale."""
+    if spread_candidates:
+        candidates = candidates.repartition(
+            candidates.sparkSession.sparkContext.defaultParallelism
+        )
     sets = profiles.select("doc_id", "shingles")
     if broadcast_sets == "auto":
         stats = sets.agg(

@@ -188,19 +188,22 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8, iters: int = 3) -
 
 def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
     """argmin_c ||v - c||² as a column expression (equivalently max of
-    dot - ½||c||² since ||v|| is constant per row)."""
-    best_id = F.lit(0)
-    best_score = None
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        score = _dot(vec_col, carr) - F.lit(sum(x * x for x in c) / 2.0)
-        if best_score is None:
-            best_score = score
-        else:
-            better = score > best_score
-            best_id = F.when(better, F.lit(i)).otherwise(best_id)
-            best_score = F.when(better, score).otherwise(best_score)
-    return best_id
+    dot - ½||c||² since ||v|| is constant per row).
+
+    Shape matters: the obvious when-chain fold embeds the running best
+    TWICE per step (in the comparison and the otherwise), an O(2^k)
+    expression tree that took Catalyst seconds to analyze at k=8×64 dims.
+    This builds a k-element score array and takes array_position of its
+    max — linear-size, same values, same lowest-index tie-break
+    (array_position returns the FIRST match, argmax semantics)."""
+    scores = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            - F.lit(sum(x * x for x in c) / 2.0)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def sample_embeddings_pq(

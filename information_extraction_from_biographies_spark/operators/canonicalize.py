@@ -30,6 +30,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 
+def _local_components(sym_rows, spark, schema) -> DataFrame:
+    """Driver-side union-find over a collected (small) edge list, labels =
+    min member. Python code-point string order == Spark's binary UTF-8
+    order, so labels match the distributed path exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in sym_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the final label is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -37,9 +65,20 @@ def connected_components(
     max_iter: int = 25,
     salt: int = 0,
     partitions: int | None = None,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """→ (vertex, component). ``edges`` is undirected input (one row per
-    edge, either orientation)."""
+    edge, either orientation).
+
+    ``local_threshold``: distinct-symmetric-edge count at or below which
+    the components are computed by a driver-side union-find over the
+    collected edge list instead of the iterative join loop — the same
+    physical-strategy decision as a broadcast-join threshold (a ≤500k-edge
+    list is a few MB; the loop costs ~10 shuffle-stage round-trips of
+    latency that dwarf the work at that size). Labels are identical on
+    both paths (component = minimum member, pinned by a parity test); at
+    corpus scale the edge count exceeds the threshold and the distributed
+    loop runs. 0 disables the local path."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
@@ -57,6 +96,22 @@ def connected_components(
     e = e.repartition(partitions, "src")
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint(eager=False)
+
+    if local_threshold > 0:
+        # one bounded probe: collect up to threshold+1 edges; if the graph
+        # fits, finish on the driver (the count materializes the checkpoint
+        # either way, so nothing is wasted on the distributed path)
+        head = sym.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            from pyspark.sql.types import StructField, StructType
+
+            vt = sym.schema["src"].dataType
+            schema = StructType(
+                [StructField("vertex", vt), StructField("component", vt)]
+            )
+            return _local_components(
+                [(r["src"], r["dst"]) for r in head], edges.sparkSession, schema
+            )
 
     labels = (
         sym.select(F.col("src").alias("vertex"))

@@ -93,3 +93,41 @@ def test_iter_key_groups_raises_on_non_contiguous_key():
                 key="conv_id",
             )
         )
+
+
+def test_cc_local_path_matches_distributed(spark):
+    """The size-gated driver union-find and the iterative join loop agree
+    exactly (component = minimum member) on random graphs, long chains,
+    and string vertices."""
+    import random
+
+    from information_extraction_from_biographies_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    rng = random.Random(9)
+    edge_sets = [
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(150)],  # random
+        [(i, i + 1) for i in range(80)],                                  # chain
+        [],                                                               # empty
+    ]
+    for edges in edge_sets:
+        df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        if not edges:
+            df = df.filter("src > 0")  # truly empty with schema
+        local = {
+            (r["vertex"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["vertex"], r["component"])
+            for r in connected_components(df, local_threshold=0).collect()
+        }
+        assert local == dist
+    # string vertices: python code-point order == spark binary order
+    sdf = spark.createDataFrame(
+        [("陳一", "林二"), ("林二", "abc"), ("x", "y")], "src string, dst string"
+    )
+    local = {tuple(r) for r in connected_components(sdf).collect()}
+    dist = {tuple(r) for r in connected_components(sdf, local_threshold=0).collect()}
+    assert local == dist

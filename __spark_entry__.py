@@ -449,9 +449,9 @@ def _broadcast_brand_agg(spark, sf_dir):
 _TRACKED_CACHE: dict[str, DataFrame] = {}
 
 
-def _tracked_persist(factory: Callable[[], DataFrame], key: str) -> DataFrame:
+def _tracked_persist(factory: Callable[[], DataFrame], key: str, spark) -> DataFrame:
     got = _TRACKED_CACHE.get(key)
-    if got is not None:
+    if got is not None and got.sparkSession is spark:
         return got
     df = factory().persist()
     _TRACKED_CACHE[key] = df
@@ -480,6 +480,7 @@ def _dedup_minhash_lsh(spark, sf_dir):
     profiles = _tracked_persist(
         lambda: dedup.minhash_profiles(docs.repartition(par), n=5, num_hashes=32),
         f"minhash_profiles:{sf_dir}",
+        spark,
     )
     cand = dedup.lsh_candidate_pairs(profiles, bands=8, cap=1000)
     return dedup.jaccard_verify(profiles, cand, threshold=0.5).select(
@@ -502,6 +503,7 @@ def _dedup_clusters(spark, sf_dir):
     profiles = _tracked_persist(
         lambda: dedup.minhash_profiles(docs.repartition(par), n=5, num_hashes=32),
         f"minhash_profiles:{sf_dir}",
+        spark,
     )
     return dedup.minhash_dedup_clusters(profiles, bands=8, cap=1000, threshold=0.5)
 
@@ -525,6 +527,7 @@ def _dedup_ngram_jaccard(spark, sf_dir, source_cap: int = 1000):
     profiles = _tracked_persist(
         lambda: dedup.minhash_profiles(docs.repartition(par), n=5, num_hashes=32),
         f"minhash_profiles:{sf_dir}",
+        spark,
     )
     w = Window.partitionBy("source").orderBy("doc_id")
     capped = (

@@ -555,7 +555,10 @@ def _dedup_simhash(spark, sf_dir):
     layout, so the parity check covers the now-exact candidate set."""
     from information_extraction_from_biographies_spark.operators import dedup
 
-    sim = dedup.simhash(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # sandbox parquet = one row group; restore native scan parallelism
+    sim = dedup.simhash(docs)
     return dedup.simhash_near_pairs(sim, max_hamming=6, cap=1000)
 
 
@@ -564,7 +567,10 @@ def _dedup_simhash_clusters(spark, sf_dir):
     verify, connected components — oracled incl. the CC closure."""
     from information_extraction_from_biographies_spark.operators import dedup
 
-    sim = dedup.simhash(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # sandbox parquet = one row group; restore native scan parallelism
+    sim = dedup.simhash(docs)
     return dedup.simhash_dedup_clusters(sim, max_hamming=6, cap=1000)
 
 

@@ -60,6 +60,8 @@ HEADLINE = [
     "w1_running_position",
     "w5_topk_per_group",
     "cc_components",
+    "graph_degree",
+    "graph_khop",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -123,11 +125,13 @@ def kg_pipeline_run(
     #     turns/extraction chain as a side effect — the probe dictionary
     #     comes from the FUSED one-shuffle surfaces aggregate
     #     (registry_surfaces_fused), not the 3-shuffle registry chain,
-    # (2) the entities/CC branch depends only on the registry, so its
-    #     serial join-iteration latency OVERLAPS the fused stage-2 python
-    #     pass (submitted before it),
-    # (3) the remaining branches (triples, co-occurrence) run as
-    #     concurrent jobs over the cached fused output.
+    # (2) one job materializes the fused stage-2 pass,
+    # (3) the downstream branches (triples, co-occurrence, entities/CC —
+    #     the last now size-gated through the driver union-find) run as
+    #     concurrent jobs over the cached inputs. (Submitting the entities
+    #     count concurrently WITH the fused pass was tried and reverted:
+    #     indistinguishable from host noise and it muddies the step
+    #     attribution the verdict audits.)
     turns, meta = normalize.normalize(tdf)
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     # ONE shuffle+sort of the big table, shared by both python passes

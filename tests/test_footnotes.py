@@ -53,3 +53,45 @@ def test_normalize_with_footnotes_routes_roles(spark):
     m = meta.collect()[0]
     assert [f["numbering"] for f in m["footnotes"]] == ["1"]
     assert m["footnotes"][0]["footnote_text"] == "參見檔案\n補充行"
+
+
+def test_group_footnotes_property_vs_simulation(spark):
+    """Randomized line lists: the window+aggregate grouping equals a
+    direct imperative simulation of the reference's process_footnote loop
+    (Preprocess.py:134-148), including the pair[1] initial-text quirk."""
+    import random
+
+    from information_extraction_from_biographies_spark.operators.normalize import (
+        group_footnotes,
+    )
+
+    rng = random.Random(31)
+    rows, expected = [], {}
+    for conv in range(6):
+        cid = f"c{conv}"
+        lines = []
+        for i in range(rng.randrange(1, 12)):
+            if rng.random() < 0.6:
+                nparts = rng.randrange(1, 4)
+                lines.append(f"{i} " + " ".join(f"字{i}{j}" for j in range(nparts)))
+            else:
+                lines.append(f"無編號{i}")
+        # imperative simulation (independent of the window implementation)
+        feet = []
+        for line in lines:
+            pair = line.split(" ")
+            if len(pair) != 1:
+                feet.append([pair[0], pair[1]])
+            elif feet:
+                feet[-1][1] += "\n" + line
+            # else: dangling continuation — dropped (documented)
+        for numbering, text in feet:
+            expected[(cid, numbering)] = text
+        rows += [(cid, i, line) for i, line in enumerate(lines)]
+
+    df = spark.createDataFrame(rows, "conv_id string, line_idx int, line string")
+    got = {
+        (r["conv_id"], r["numbering"]): r["footnote_text"]
+        for r in group_footnotes(df).collect()
+    }
+    assert got == expected

@@ -118,3 +118,32 @@ def test_connected_components_long_chain(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {int(r["vertex"]): int(r["component"]) for r in connected_components(df).collect()}
     assert got == {v: 0 for v in range(201)}
+
+
+@given(
+    st.integers(min_value=4, max_value=10),
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    st.lists(st.integers(min_value=0, max_value=59), min_size=0, max_size=9, unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_band_bounds_pigeonhole_exact(bands, base, flip_bits):
+    """band_bounds layout: widths partition the 60 bits exactly, and any
+    pair within hamming <= bands-1 shares at least one equal band (the
+    exactness property the blocking relies on)."""
+    from information_extraction_from_biographies_spark.operators.dedup import band_bounds
+
+    bounds = band_bounds(bands)
+    assert sum(w for _o, w in bounds) == 60
+    assert len(bounds) == bands
+    offs = [o for o, _w in bounds]
+    assert offs == sorted(set(offs))  # disjoint, increasing
+
+    if len(flip_bits) <= bands - 1:
+        other = base
+        for b in flip_bits:
+            other ^= 1 << b
+        shares = any(
+            (base >> off) & ((1 << w) - 1) == (other >> off) & ((1 << w) - 1)
+            for off, w in bounds
+        )
+        assert shares

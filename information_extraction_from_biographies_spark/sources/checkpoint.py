@@ -41,6 +41,10 @@ class CheckpointStore:
     def _lineage_path(self, table: str, snapshot_id: str) -> str:
         return os.path.join(self.warehouse, "_lineage", f"{table}-{snapshot_id}.json")
 
+    def _catalog_name(self, table: str, snapshot_id: str) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in f"{table}__snap_{snapshot_id}")
+        return safe
+
     # -- write path --------------------------------------------------
     def commit(
         self,
@@ -49,11 +53,32 @@ class CheckpointStore:
         snapshot_id: str,
         input_snapshots: dict[str, str] | None = None,
         metrics: dict | None = None,
+        bucket_keys: list[str] | str | None = None,
+        buckets: int = 0,
     ) -> str:
-        """Write df as an immutable snapshot + lineage rows. Returns path."""
+        """Write df as an immutable snapshot + lineage rows. Returns path.
+
+        ``bucket_keys``/``buckets`` write the snapshot BUCKETED on its
+        downstream join/group key (sources/bucketed.py): a resumed
+        pipeline then re-reads the stage pre-hash-partitioned and the
+        planner drops the repartition shuffle the original run paid —
+        e.g. the turns snapshot bucketed on conv_id feeds both Python
+        passes with zero exchanges on re-run."""
         t0 = time.monotonic()
         path = self._snapshot_dir(table, snapshot_id)
-        df.write.mode("overwrite").parquet(path)
+        if bucket_keys is not None and buckets > 0:
+            from .bucketed import write_bucketed
+
+            write_bucketed(
+                df,
+                self._catalog_name(table, snapshot_id),
+                bucket_keys,
+                buckets,
+                path=path,
+                mode="overwrite",
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
         # per-partition lineage: one row per output file with its row count
         written = self.spark.read.parquet(path)
         per_file = (
@@ -72,6 +97,12 @@ class CheckpointStore:
             "total_rows": int(sum(r["count"] for r in per_file)),
             "metrics": dict(metrics or {}, wall_ms=int((time.monotonic() - t0) * 1000)),
         }
+        if bucket_keys is not None and buckets > 0:
+            lineage["bucketing"] = {
+                "keys": [bucket_keys] if isinstance(bucket_keys, str) else list(bucket_keys),
+                "num_buckets": buckets,
+                "catalog_table": self._catalog_name(table, snapshot_id),
+            }
         tmp = self._lineage_path(table, snapshot_id) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(lineage, f, ensure_ascii=False, indent=1)
@@ -93,6 +124,31 @@ class CheckpointStore:
         return actual == lineage["total_rows"]
 
     def read(self, table: str, snapshot_id: str) -> DataFrame:
+        """Re-read a committed snapshot. Bucketed snapshots are read
+        through the catalog so the scan KEEPS the bucket distribution (a
+        plain parquet read of the same files would lose it); if the
+        catalog entry is gone (new session, in-memory catalog) it is
+        re-registered from the lineage record first."""
+        lp = self._lineage_path(table, snapshot_id)
+        if os.path.exists(lp):
+            with open(lp, encoding="utf-8") as f:
+                bucketing = json.load(f).get("bucketing")
+            if bucketing is not None:
+                cat = bucketing["catalog_table"]
+                if not self.spark.catalog.tableExists(cat):
+                    # declare the existing file layout with DDL (no rewrite)
+                    df = self.spark.read.parquet(self._snapshot_dir(table, snapshot_id))
+                    cols = ", ".join(
+                        f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields
+                    )
+                    keys = ", ".join(f"`{k}`" for k in bucketing["keys"])
+                    self.spark.sql(
+                        f"CREATE TABLE {cat} ({cols}) USING parquet "
+                        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+                        f"INTO {bucketing['num_buckets']} BUCKETS "
+                        f"LOCATION '{self._snapshot_dir(table, snapshot_id)}'"
+                    )
+                return self.spark.table(cat)
         return self.spark.read.parquet(self._snapshot_dir(table, snapshot_id))
 
     def lineage(self, table: str, snapshot_id: str) -> dict:

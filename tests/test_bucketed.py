@@ -1,0 +1,131 @@
+"""Bucketed-table layout: the planner must satisfy join/aggregation
+distribution from the table layout itself — no Exchange on bucketed
+sides. This is the co-located-join story for repeated stage-boundary
+joins at 100 TB (sources/bucketed.py)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_extraction_from_biographies_spark.sources.bucketed import (
+    bucket_spec,
+    read_bucketed,
+    write_bucketed,
+)
+from information_extraction_from_biographies_spark.sources.checkpoint import (
+    CheckpointStore,
+)
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("source"),
+        F.sha1(F.col("id").cast("string")).alias("content"),
+    )
+    scores = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100).alias("score")
+    )
+    write_bucketed(docs, "tb_docs", "doc_id", 8, path=str(root / "docs"))
+    write_bucketed(scores, "tb_scores", "doc_id", 8, path=str(root / "scores"))
+    yield "tb_docs", "tb_scores"
+    spark.sql("DROP TABLE IF EXISTS tb_docs")
+    spark.sql("DROP TABLE IF EXISTS tb_scores")
+
+
+def _no_broadcast(spark):
+    return _conf_ctx(spark, "spark.sql.autoBroadcastJoinThreshold", "-1")
+
+
+@contextlib.contextmanager
+def _conf_ctx(spark, key, value):
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    t1, t2 = bucketed_pair
+    with _no_broadcast(spark):
+        joined = read_bucketed(spark, t1).join(read_bucketed(spark, t2), "doc_id")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan
+        assert joined.count() == 2000
+
+
+def test_unbucketed_control_join_shuffles(spark, bucketed_pair, tmp_path):
+    # same data read as PLAIN parquet (layout metadata lost) must shuffle —
+    # proves the no-Exchange plan above comes from the bucket metadata.
+    t1, t2 = bucketed_pair
+    p1 = spark.table(t1).inputFiles()[0].rsplit("/", 1)[0]
+    p2 = spark.table(t2).inputFiles()[0].rsplit("/", 1)[0]
+    with _no_broadcast(spark):
+        joined = spark.read.parquet(p1).join(spark.read.parquet(p2), "doc_id")
+        assert "Exchange" in plan_of(joined)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    t1, _ = bucketed_pair
+    agg = read_bucketed(spark, t1).groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert "Exchange" not in plan_of(agg)
+
+
+def test_groupby_off_bucket_key_still_shuffles(spark, bucketed_pair):
+    # sanity: the layout only covers its own key
+    t1, _ = bucketed_pair
+    agg = read_bucketed(spark, t1).groupBy("source").agg(F.count("*").alias("n"))
+    assert "Exchange" in plan_of(agg)
+
+
+def test_round_trip_and_spec(spark, bucketed_pair):
+    t1, _ = bucketed_pair
+    df = read_bucketed(spark, t1)
+    assert df.count() == 2000
+    assert df.select(F.sum("doc_id")).first()[0] == sum(range(2000))
+    assert bucket_spec(spark, t1) == (["doc_id"], 8)
+    assert bucket_spec(spark, "tb_scores") == (["doc_id"], 8)
+
+
+def test_checkpoint_bucketed_resume_keeps_layout(spark, tmp_path):
+    """A bucketed snapshot re-read through the store joins with zero
+    Exchange — including after the catalog entry is dropped (new-session
+    resume re-registers the layout via DDL)."""
+    store = CheckpointStore(spark, str(tmp_path / "wh"))
+    turns = spark.range(500).select(
+        F.col("id").alias("conv_id"), (F.col("id") * 2).alias("x")
+    )
+    store.commit(turns, "turns", "s1", bucket_keys="conv_id", buckets=4)
+    assert store.is_committed("turns", "s1")
+    assert store.lineage("turns", "s1")["bucketing"]["num_buckets"] == 4
+
+    other = spark.range(500).select(
+        F.col("id").alias("conv_id"), F.lit(1).alias("y")
+    )
+    cat = store._catalog_name("turns", "s1")
+    with _no_broadcast(spark):
+        # the bucketed side must not re-shuffle: exactly the probe side's
+        # repartition Exchange may appear in the simple-mode tree, never two.
+        j = store.read("turns", "s1").join(other.repartition(4, "conv_id"), "conv_id")
+        assert plan_of(j, "simple").count("Exchange") <= 1
+        assert j.count() == 500
+
+        # simulate a fresh session: drop the catalog entry, read again
+        spark.sql(f"DROP TABLE {cat}")
+        j2 = store.read("turns", "s1").join(other.repartition(4, "conv_id"), "conv_id")
+        assert plan_of(j2, "simple").count("Exchange") <= 1
+        assert j2.count() == 500
+    spark.sql(f"DROP TABLE IF EXISTS {cat}")

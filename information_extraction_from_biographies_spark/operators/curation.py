@@ -1,0 +1,192 @@
+"""Training-data curation operators — the steps between "deduped corpus"
+and "training mixture" that a large-scale pipeline runs over the
+documents table: PII scrubbing, deterministic global shuffle, stratified
+quota sampling, and token-budget sequence packing.
+
+Scale posture per operator:
+
+- ``scrub_pii`` — pure ``regexp_replace`` column expressions (JVM-side,
+  whole-stage codegen); zero shuffles, scales as a map.
+- ``deterministic_shuffle`` — ``xxhash64(key, seed)`` sort key. A global
+  ``orderBy`` is a range-partitioned sort (one shuffle with sampled range
+  bounds — Spark's TeraSort shape); because the key is a uniform hash the
+  range bounds are balanced by construction, so no skew handling is
+  needed. Same (key, seed) → same order on any cluster size.
+- ``stratified_quota`` — per-stratum deterministic top-``quota`` by
+  hashed rank: one shuffle on the stratum key; hot strata are bounded by
+  the quota itself (the window emits at most ``quota`` rows per stratum,
+  and the rank-filter prunes eagerly map-side under partial windows? no —
+  rank needs the stratum together, which IS the one shuffle; quota caps
+  the OUTPUT, the input pass is linear).
+- ``pack_sequences`` — bin packing is inherently sequential; the
+  scalable variant is partition-local first-fit-decreasing inside
+  ``mapInPandas`` after a hash repartition: each partition packs its own
+  documents into bins of ``budget`` tokens, bin ids are made globally
+  unique with the partition id. Packing quality loss vs a global packer
+  is bounded (each partition wastes < 1 bin's worth of slack on average
+  at realistic budgets) while the work distributes linearly — the same
+  trade every large training-data pipeline makes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+# Deliberately conservative patterns (precision over recall: a scrub
+# that eats ordinary prose is worse than one that misses an exotic
+# format; corpus-specific formats extend the dict). Replacement runs in
+# dict order, so MORE specific digit shapes come first — a card number
+# scrubbed as <PII:card> no longer contains the digit runs the phone
+# pattern would otherwise claim.
+PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # 16-digit runs in groups of 4 (payment-card shaped); before phone
+    "card": r"(?<![0-9])[0-9]{4}(?:[ \-][0-9]{4}){3}(?![0-9])",
+    # international/US-ish phone runs: +1 555-123-4567, (555) 123 4567 …
+    "phone": r"(?<![0-9])(?:\+?[0-9]{1,3}[ \-.])?(?:\([0-9]{2,4}\)[ \-.]?)?[0-9]{3,4}[ \-.][0-9]{3,4}(?:[ \-.][0-9]{2,4})?(?![0-9])",
+    # IPv4
+    "ip": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace each PII match with a typed placeholder ``<PII:kind>``.
+
+    One chained ``regexp_replace`` expression — no UDF, no shuffle; the
+    per-kind match counts come along as columns so a curation run can
+    report scrub rates without a second pass. Counts are raw per-pattern
+    matches against the INPUT text, so a span claimable by two kinds
+    (a card number also phone-shaped) counts under both even though the
+    replacement chain scrubs it once, under the earlier kind."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<PII:{kind}>")
+    out = out_col or text_col
+    cols = [c for c in docs.columns if c != out]
+    return docs.select(*cols, scrubbed.alias(out), *counts)
+
+
+def deterministic_shuffle(
+    docs: DataFrame, key: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Global pseudo-random but REPRODUCIBLE ordering for training-data
+    export: sort by ``xxhash64(key, seed)``. Changing the seed reshuffles;
+    rerunning with the same seed — on any partitioning or cluster size —
+    gives the identical order (ties on the 64-bit hash broken by key)."""
+    h = F.xxhash64(F.col(key).cast("string"), F.lit(seed))
+    return docs.orderBy(h, F.col(key))
+
+
+def stratified_quota(
+    docs: DataFrame,
+    stratum_col: str,
+    quotas: dict[str, int] | int,
+    key: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """At most ``quota`` documents per stratum (a dict per stratum value,
+    or one int for all), chosen by deterministic hash rank — the mixture-
+    weighting step of a training-data pipeline, reproducible across runs
+    and cluster sizes. One shuffle (the rank window on the stratum key);
+    a uniform int quota caps every stratum's output identically."""
+    h = F.xxhash64(F.col(key).cast("string"), F.lit(seed))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
+    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    if isinstance(quotas, int):
+        out = ranked.filter(F.col("_rk") <= quotas)
+    else:
+        qmap = F.create_map(
+            *[x for k, v in quotas.items() for x in (F.lit(k), F.lit(v))]
+        )
+        out = ranked.filter(
+            F.col("_rk") <= F.coalesce(qmap[F.col(stratum_col)], F.lit(0))
+        )
+    return out.drop("_rk")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """→ (id_col, n_tokens, pack_id, pack_tokens): greedy first-fit-
+    decreasing packing of documents into training sequences of at most
+    ``budget`` tokens, partition-local (see module docstring for the
+    scale trade). Documents longer than ``budget`` get a singleton pack
+    (the downstream tokenizer truncates; dropping them silently would
+    bias the corpus). ``pack_tokens`` is the pack's total, repeated per
+    member row so the output joins back to the docs table directly."""
+    if partitions is None:
+        partitions = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        frames = list(batches)
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(
+            [tokens_col, id_col], ascending=[False, True], ignore_index=True
+        )
+        # first-fit-decreasing over open bins; bins close once no pending
+        # doc can fit (smallest remaining doc known because of the sort)
+        bins: list[tuple[int, int]] = []  # (bin_idx, remaining)
+        assign: list[int] = []
+        totals: dict[int, int] = {}
+        for tok in rows[tokens_col].astype("int64"):
+            placed = None
+            for i, (b, rem) in enumerate(bins):
+                if tok <= rem:
+                    placed = b
+                    bins[i] = (b, rem - tok)
+                    break
+            if placed is None:
+                placed = len(totals)
+                bins.append((placed, max(budget - tok, 0)))
+            assign.append(placed)
+            totals[placed] = totals.get(placed, 0) + int(tok)
+        out = pd.DataFrame(
+            {
+                id_col: rows[id_col],
+                tokens_col: rows[tokens_col].astype("int64"),
+                "pack_id": [f"{pid}-{a}" for a in assign],
+                "pack_tokens": [totals[a] for a in assign],
+            }
+        )
+        yield out
+
+    sel = docs.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+    )
+    return sel.repartition(partitions, id_col).mapInPandas(
+        _pack,
+        schema=f"{id_col} string, {tokens_col} long, pack_id string, pack_tokens long",
+    )

@@ -1,0 +1,117 @@
+"""Training-data curation operators: PII scrubbing, deterministic
+shuffle, stratified quota sampling, token-budget sequence packing
+(operators/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_extraction_from_biographies_spark.operators.curation import (
+    deterministic_shuffle,
+    pack_sequences,
+    scrub_pii,
+    stratified_quota,
+)
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    rows = [
+        ("d1", "mail me at jo.doe+x@example.co.uk or call 555-123-4567 ok"),
+        ("d2", "card 4111 1111 1111 1111 from 10.0.0.1"),
+        ("d3", "no pii here, just prose with numbers like 42 and 2026."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert "<PII:email>" in out["d1"]["text"] and "@" not in out["d1"]["text"]
+    assert "<PII:phone>" in out["d1"]["text"]
+    assert out["d1"]["n_email"] == 1 and out["d1"]["n_phone"] == 1
+    assert "<PII:card>" in out["d2"]["text"] and "<PII:ip>" in out["d2"]["text"]
+    assert "4111" not in out["d2"]["text"]
+    assert out["d3"]["text"] == rows[2][1]  # prose untouched
+    assert out["d3"]["n_email"] == out["d3"]["n_card"] == out["d3"]["n_ip"] == 0
+
+
+def test_scrub_pii_is_pure_expressions(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([("d", "t")], "doc_id string, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scrub_pii(df).explain("formatted")
+    plan = buf.getvalue()
+    # no shuffle, no Python UDF eval node (the local-relation scan itself
+    # mentions Python — only the eval operators matter)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
+    df = spark.range(300).select(F.col("id").cast("string").alias("doc_id"))
+    o1 = [r["doc_id"] for r in deterministic_shuffle(df, seed=1).collect()]
+    o2 = [r["doc_id"] for r in deterministic_shuffle(df.repartition(7), seed=1).collect()]
+    o3 = [r["doc_id"] for r in deterministic_shuffle(df, seed=2).collect()]
+    assert o1 == o2  # same seed, any partitioning → identical order
+    assert o1 != o3  # seed changes the order
+    assert sorted(o1) == sorted(o3)  # …but not the membership
+
+
+def test_stratified_quota_uniform_and_per_stratum(spark):
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    uni = stratified_quota(df, "source", 50, seed=3)
+    by = {r["source"]: r["n"] for r in uni.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by == {"s0": 50, "s1": 50, "s2": 50, "s3": 50}
+
+    per = stratified_quota(df, "source", {"s0": 10, "s1": 300, "s2": 0}, seed=3)
+    by2 = {r["source"]: r["n"] for r in per.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # s1's quota exceeds its population (250) → capped by population;
+    # s3 has no quota entry → dropped entirely
+    assert by2 == {"s0": 10, "s1": 250}
+
+    # deterministic: same seed picks the same documents
+    a = {r["doc_id"] for r in uni.collect()}
+    b = {r["doc_id"] for r in stratified_quota(df.repartition(11), "source", 50, seed=3).collect()}
+    assert a == b
+
+
+@pytest.mark.parametrize("budget", [100, 1000])
+def test_pack_sequences_respects_budget(spark, budget):
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        ((F.xxhash64("id") % 90 + 95) % 90 + 5).alias("n_tokens"),  # 5..94
+    )
+    out = pack_sequences(df, budget=budget).collect()
+    assert len(out) == 500  # every document packed exactly once
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for members in packs.values():
+        total = sum(r["n_tokens"] for r in members)
+        assert total <= budget
+        assert all(r["pack_tokens"] == total for r in members)
+
+
+def test_pack_sequences_oversized_doc_gets_singleton(spark):
+    df = spark.createDataFrame(
+        [("big", 5000), ("a", 30), ("b", 40)], "doc_id string, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=100, partitions=1).collect()}
+    big_pack = out["big"]["pack_id"]
+    assert out["a"]["pack_id"] != big_pack and out["b"]["pack_id"] != big_pack
+    assert out["big"]["pack_tokens"] == 5000
+    assert out["a"]["pack_id"] == out["b"]["pack_id"]  # 30+40 fit together
+
+
+def test_pack_sequences_packing_efficiency(spark):
+    """FFD on one partition must approach the token-sum lower bound (≤ 1.5x
+    bins is FFD's worst case; random sizes land much closer)."""
+    df = spark.range(400).select(
+        F.col("id").cast("string").alias("doc_id"),
+        ((F.xxhash64("id", F.lit(9)) % 50 + 60) % 50 + 10).alias("n_tokens"),
+    )
+    rows = pack_sequences(df, budget=128, partitions=4).collect()
+    n_bins = len({r["pack_id"] for r in rows})
+    lower = -(-sum(r["n_tokens"] for r in rows) // 128)
+    assert n_bins <= 1.3 * lower + 4  # +1 open bin per partition slack

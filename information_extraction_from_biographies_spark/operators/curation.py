@@ -100,27 +100,50 @@ def stratified_quota(
     quotas: dict[str, int] | int,
     key: str = "doc_id",
     seed: int = 0,
+    salt: int = 0,
 ) -> DataFrame:
     """At most ``quota`` documents per stratum (a dict per stratum value,
     or one int for all), chosen by deterministic hash rank — the mixture-
     weighting step of a training-data pipeline, reproducible across runs
     and cluster sizes. One shuffle (the rank window on the stratum key);
-    a uniform int quota caps every stratum's output identically."""
-    h = F.xxhash64(F.col(key).cast("string"), F.lit(seed))
+    a uniform int quota caps every stratum's output identically.
+
+    ``salt > 1``: two-phase rank for hot strata. A web corpus routinely
+    has one stratum holding most of the rows (e.g. source='common_crawl'),
+    and a plain window makes that stratum ONE task. The salted phase
+    ranks within (stratum, hash-salt) partitions — ``salt`` parallel
+    tasks per stratum — and keeps only each salt's first ``quota`` rows;
+    the final window then ranks at most ``salt × quota`` survivors per
+    stratum. Both phases order by the same (hash, key), so the selected
+    set is IDENTICAL to the unsalted path (pinned by a test)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
-    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    h = F.xxhash64(F.col(key).cast("string"), F.lit(seed))
     if isinstance(quotas, int):
-        out = ranked.filter(F.col("_rk") <= quotas)
+        quota_col = F.lit(quotas)
+        max_quota = quotas
     else:
         qmap = F.create_map(
             *[x for k, v in quotas.items() for x in (F.lit(k), F.lit(v))]
         )
-        out = ranked.filter(
-            F.col("_rk") <= F.coalesce(qmap[F.col(stratum_col)], F.lit(0))
+        quota_col = F.coalesce(qmap[F.col(stratum_col)], F.lit(0))
+        max_quota = max(quotas.values(), default=0)
+
+    if salt > 1 and max_quota > 0:
+        ws = Window.partitionBy(stratum_col, F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(salt))).orderBy(
+            h, F.col(key)
         )
-    return out.drop("_rk")
+        docs = (
+            docs.withColumn("_srk", F.row_number().over(ws))
+            .filter(F.col("_srk") <= quota_col)
+            .drop("_srk")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota_col)
+        .drop("_rk")
+    )
 
 
 def pack_sequences(

@@ -76,6 +76,31 @@ def test_stratified_quota_uniform_and_per_stratum(spark):
     assert a == b
 
 
+def test_stratified_quota_salted_identical_to_plain(spark):
+    """The two-phase hot-stratum path must select the exact same set as
+    the plain window — salting changes the plan, never the sample."""
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        # one hot stratum holding 95% of rows
+        F.when(F.col("id") % 20 == 0, F.lit("rare")).otherwise(F.lit("hot")).alias("source"),
+    )
+    plain = {r["doc_id"] for r in stratified_quota(df, "source", 75, seed=5).collect()}
+    salted = {
+        r["doc_id"]
+        for r in stratified_quota(df, "source", 75, seed=5, salt=8).collect()
+    }
+    assert plain == salted and len(salted) == 150
+    per = {
+        r["doc_id"]
+        for r in stratified_quota(df, "source", {"hot": 40, "rare": 5}, seed=5, salt=8).collect()
+    }
+    per_plain = {
+        r["doc_id"]
+        for r in stratified_quota(df, "source", {"hot": 40, "rare": 5}, seed=5).collect()
+    }
+    assert per == per_plain and len(per) == 45
+
+
 @pytest.mark.parametrize("budget", [100, 1000])
 def test_pack_sequences_respects_budget(spark, budget):
     df = spark.range(500).select(

@@ -154,3 +154,42 @@ class CheckpointStore:
     def lineage(self, table: str, snapshot_id: str) -> dict:
         with open(self._lineage_path(table, snapshot_id), encoding="utf-8") as f:
             return json.load(f)
+
+    # -- retention ---------------------------------------------------
+    def snapshots(self, table: str) -> list[str]:
+        """Committed snapshot ids of a table, oldest first (commit order =
+        lineage-file mtime; ids themselves carry no ordering contract)."""
+        tdir = os.path.join(self.warehouse, table)
+        if not os.path.isdir(tdir):
+            return []
+        found = []
+        for name in os.listdir(tdir):
+            if name.startswith("snapshot="):
+                sid = name.split("=", 1)[1]
+                lp = self._lineage_path(table, sid)
+                if os.path.exists(lp):
+                    found.append((os.path.getmtime(lp), sid))
+        return [sid for _m, sid in sorted(found)]
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[str]:
+        """Drop all but the newest ``keep_last`` committed snapshots of a
+        table (Iceberg's expire_snapshots shape): the lineage JSON is
+        removed FIRST — after that the snapshot is uncommitted, so a
+        crash mid-delete leaves garbage files, never a half-valid
+        snapshot — then the data directory and any bucket catalog entry.
+        Returns the expired ids."""
+        import shutil
+
+        sids = self.snapshots(table)
+        victims = sids[: max(len(sids) - keep_last, 0)]
+        for sid in victims:
+            lp = self._lineage_path(table, sid)
+            with open(lp, encoding="utf-8") as f:
+                bucketing = json.load(f).get("bucketing")
+            os.remove(lp)  # commit point of the expiry
+            if bucketing is not None and self.spark.catalog.tableExists(
+                bucketing["catalog_table"]
+            ):
+                self.spark.sql(f"DROP TABLE {bucketing['catalog_table']}")
+            shutil.rmtree(self._snapshot_dir(table, sid), ignore_errors=True)
+        return victims

@@ -93,3 +93,36 @@ def test_connected_components_salted_equals_unsalted(spark):
     plain = {(r.vertex, r.component) for r in connected_components(df).collect()}
     salted = {(r.vertex, r.component) for r in connected_components(df, salt=8).collect()}
     assert plain == salted
+
+
+def test_expire_snapshots_keeps_newest_and_stays_committed(spark, tmp_path):
+    import time as _time
+
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "wh"))
+    for i in range(4):
+        store.commit(spark.range(10 + i), "t", f"s{i}")
+        _time.sleep(0.05)  # mtime ordering
+    assert store.snapshots("t") == ["s0", "s1", "s2", "s3"]
+
+    expired = store.expire_snapshots("t", keep_last=2)
+    assert expired == ["s0", "s1"]
+    assert store.snapshots("t") == ["s2", "s3"]
+    assert not store.is_committed("t", "s0")
+    assert store.is_committed("t", "s3")
+    assert store.read("t", "s3").count() == 13
+
+    # expiring a bucketed snapshot also drops its catalog entry
+    store.commit(
+        spark.range(20).selectExpr("id as conv_id"), "b", "s1",
+        bucket_keys="conv_id", buckets=2,
+    )
+    cat = store._catalog_name("b", "s1")
+    store.read("b", "s1").count()
+    assert spark.catalog.tableExists(cat)
+    store.expire_snapshots("b", keep_last=0)
+    assert not spark.catalog.tableExists(cat)
+    assert store.snapshots("b") == []

@@ -47,10 +47,11 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
     # 16-digit runs in groups of 4 (payment-card shaped); before phone
     "card": r"(?<![0-9])[0-9]{4}(?:[ \-][0-9]{4}){3}(?![0-9])",
+    # IPv4; before phone (whose separator class includes '.', so an IP
+    # left for later would have its leading octets claimed as a phone)
+    "ip": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
     # international/US-ish phone runs: +1 555-123-4567, (555) 123 4567 …
     "phone": r"(?<![0-9])(?:\+?[0-9]{1,3}[ \-.])?(?:\([0-9]{2,4}\)[ \-.]?)?[0-9]{3,4}[ \-.][0-9]{3,4}(?:[ \-.][0-9]{2,4})?(?![0-9])",
-    # IPv4
-    "ip": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
 }
 
 

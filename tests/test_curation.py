@@ -26,6 +26,7 @@ def test_scrub_pii_replaces_and_counts(spark):
     assert out["d1"]["n_email"] == 1 and out["d1"]["n_phone"] == 1
     assert "<PII:card>" in out["d2"]["text"] and "<PII:ip>" in out["d2"]["text"]
     assert "4111" not in out["d2"]["text"]
+    assert out["d2"]["text"].endswith("from <PII:ip>")  # ip intact, not phone-mangled
     assert out["d3"]["text"] == rows[2][1]  # prose untouched
     assert out["d3"]["n_email"] == out["d3"]["n_card"] == out["d3"]["n_ip"] == 0
 

@@ -112,8 +112,13 @@ def _kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns, meta, _ca, people, aliases, _i = _kg_tables(spark)
     entities = canonicalize.entity_table(people, aliases)
     home = tr.hometown_triples(turns, meta)
-    matched = biographee.query_biographees(meta, home, "出生 >= 1882").select(
-        "name", F.lit(True).alias("matches_query")
+    # query_biographees is one row per (meta row × distinct hometown);
+    # distinct() collapses multi-hometown biographees so the left join
+    # below stays 1:1 per canonical name
+    matched = (
+        biographee.query_biographees(meta, home, "出生 >= 1882")
+        .select("name", F.lit(True).alias("matches_query"))
+        .distinct()
     )
     return entities.join(matched, "name", "left").select(
         "name", "entity_id", F.coalesce("matches_query", F.lit(False)).alias("matches_query")
@@ -1565,6 +1570,8 @@ def oracle_sql() -> dict[str, str]:
     # dir costs ONE oracle, not the whole dict (round-2 ADVICE).
     try:
         oracles["ann_ivf_topk"] = _ivf_topk_sql()
-    except OSError:
+    except Exception:
+        # broad by design: a truncated parquet raises ArrowInvalid, an
+        # empty one ValueError — none of them OSError subclasses
         pass
     return oracles

@@ -239,7 +239,7 @@ def main() -> None:
     kg_max_trials = int(os.environ.get("SPARK_GRAFT_KG_MAX_TRIALS", "4"))
     kg_trial_log: list[dict] = []
     results: dict[float, tuple] = {}
-    while len(kg_trial_log) < kg_max_trials:
+    while len(kg_trial_log) < max(kg_trials, 1) + kg_max_trials:
         before = _cpu_stat()
         w, t, u, c, e = kg_pipeline_run(spark, n_convs, career_reps=career_reps)
         steal = _steal_pct(before, _cpu_stat())

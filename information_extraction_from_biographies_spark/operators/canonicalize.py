@@ -98,11 +98,13 @@ def connected_components(
     sym = sym.localCheckpoint(eager=False)
 
     if local_threshold > 0:
-        # one bounded probe: collect up to threshold+1 edges; if the graph
-        # fits, finish on the driver (the count materializes the checkpoint
-        # either way, so nothing is wasted on the distributed path)
-        head = sym.limit(local_threshold + 1).collect()
-        if len(head) <= local_threshold:
+        # bounded COUNT probe first: on a corpus-scale graph the gate must
+        # not ship threshold-many Rows to the driver just to discard them
+        # (500k two-string Rows is hundreds of MB of driver heap, not "a
+        # few"); edges only transfer once the graph is known to fit
+        n_probe = sym.limit(local_threshold + 1).count()
+        if n_probe <= local_threshold:
+            head = sym.collect()
             from pyspark.sql.types import StructField, StructType
 
             vt = sym.schema["src"].dataType

@@ -179,23 +179,41 @@ def pack_sequences(
         rows = rows.sort_values(
             [tokens_col, id_col], ascending=[False, True], ignore_index=True
         )
-        # first-fit-decreasing over open bins; bins close once no pending
-        # doc can fit (smallest remaining doc known because of the sort)
-        bins: list[tuple[int, int]] = []  # (bin_idx, remaining)
+        # First-fit-decreasing over OPEN bins. Because the sort is
+        # decreasing, the smallest pending doc is always the partition's
+        # last row; a bin whose remaining capacity drops below it can
+        # never accept another doc, so it is closed (marked rem=-1 and
+        # compacted away once closed slots reach half the list — amortized
+        # O(1) per close, and scans never walk a majority-dead list).
+        # Skipping closed bins cannot change any assignment, so this is
+        # exactly first-fit; without it a partition of docs > budget/2
+        # keeps every singleton bin open and the loop goes O(n²).
+        min_tok = int(rows[tokens_col].iloc[-1])
+        bins: list[list[int]] = []  # [bin_idx, remaining]; rem=-1 ⇒ closed
+        n_closed = 0
         assign: list[int] = []
         totals: dict[int, int] = {}
         for tok in rows[tokens_col].astype("int64"):
+            tok = int(tok)
             placed = None
-            for i, (b, rem) in enumerate(bins):
-                if tok <= rem:
-                    placed = b
-                    bins[i] = (b, rem - tok)
+            for slot in bins:
+                if tok <= slot[1]:
+                    placed = slot[0]
+                    slot[1] -= tok
+                    if slot[1] < min_tok:
+                        slot[1] = -1
+                        n_closed += 1
                     break
             if placed is None:
                 placed = len(totals)
-                bins.append((placed, max(budget - tok, 0)))
+                rem = max(budget - tok, 0)
+                if rem >= min_tok:
+                    bins.append([placed, rem])
             assign.append(placed)
-            totals[placed] = totals.get(placed, 0) + int(tok)
+            totals[placed] = totals.get(placed, 0) + tok
+            if n_closed * 2 >= len(bins) and n_closed:
+                bins = [s for s in bins if s[1] >= 0]
+                n_closed = 0
         out = pd.DataFrame(
             {
                 id_col: rows[id_col],

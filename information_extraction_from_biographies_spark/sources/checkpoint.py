@@ -42,8 +42,18 @@ class CheckpointStore:
         return os.path.join(self.warehouse, "_lineage", f"{table}-{snapshot_id}.json")
 
     def _catalog_name(self, table: str, snapshot_id: str) -> str:
+        # The session catalog is global: two stores with different
+        # warehouses (or ids that alnum-squash to the same text, e.g.
+        # "a-b" vs "a_b") must not collide on one table name, or read()
+        # would silently serve the other store's snapshot. A hash of the
+        # raw (warehouse, table, id) triple disambiguates both cases.
+        import hashlib
+
+        h = hashlib.sha1(
+            f"{self.warehouse}\x00{table}\x00{snapshot_id}".encode()
+        ).hexdigest()[:10]
         safe = "".join(c if c.isalnum() else "_" for c in f"{table}__snap_{snapshot_id}")
-        return safe
+        return f"{safe}_{h}"
 
     # -- write path --------------------------------------------------
     def commit(

@@ -141,3 +141,51 @@ def test_pack_sequences_packing_efficiency(spark):
     n_bins = len({r["pack_id"] for r in rows})
     lower = -(-sum(r["n_tokens"] for r in rows) // 128)
     assert n_bins <= 1.3 * lower + 4  # +1 open bin per partition slack
+
+
+def test_pack_sequences_matches_naive_first_fit(spark):
+    """The bin-closing optimization must not change any assignment: compare
+    against a naive first-fit-decreasing that scans every bin ever opened."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(f"d{i}", rng.choice([3, 40, 70, 90, 130])) for i in range(300)]
+    budget = 128
+
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    naive_bins: list[int] = []  # remaining per bin, never closed
+    naive: dict[str, int] = {}
+    for doc, tok in order:
+        for i, rem in enumerate(naive_bins):
+            if tok <= rem:
+                naive_bins[i] -= tok
+                naive[doc] = i
+                break
+        else:
+            naive[doc] = len(naive_bins)
+            naive_bins.append(max(budget - tok, 0))
+
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    got = {
+        r["doc_id"]: int(r["pack_id"].split("-")[1])
+        for r in pack_sequences(df, budget=budget, partitions=1).collect()
+    }
+    assert got == naive
+
+
+def test_pack_sequences_closes_full_bins_linear(spark):
+    """A partition where every doc exceeds budget/2 (each opens a singleton
+    bin) must stay linear: with bin closing, 20k such docs pack in seconds;
+    the pre-fix open-bin list would do ~2*10^8 probes here."""
+    import time
+
+    df = spark.range(20_000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.lit(70) + F.abs(F.xxhash64("id")) % 29).alias("n_tokens"),  # 70..98 of 128
+    )
+    t0 = time.monotonic()
+    out = pack_sequences(df, budget=128, partitions=1).collect()
+    wall = time.monotonic() - t0
+    assert len(out) == 20_000
+    assert len({r["pack_id"] for r in out}) == 20_000  # all singletons
+    assert wall < 30  # quadratic path took minutes

@@ -126,3 +126,24 @@ def test_expire_snapshots_keeps_newest_and_stays_committed(spark, tmp_path):
     store.expire_snapshots("b", keep_last=0)
     assert not spark.catalog.tableExists(cat)
     assert store.snapshots("b") == []
+
+
+def test_bucketed_catalog_names_scoped_per_warehouse(spark, tmp_path):
+    """Two stores sharing (table, snapshot_id) must not collide in the
+    session-global catalog: each read() returns its own store's rows, and
+    ids that alnum-squash identically ('a-b' vs 'a_b') stay distinct."""
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    a = CheckpointStore(spark, str(tmp_path / "wa"))
+    b = CheckpointStore(spark, str(tmp_path / "wb"))
+    a.commit(spark.range(5).selectExpr("id as conv_id"), "turns", "s1",
+             bucket_keys="conv_id", buckets=2)
+    b.commit(spark.range(9).selectExpr("id as conv_id"), "turns", "s1",
+             bucket_keys="conv_id", buckets=2)
+    assert a._catalog_name("turns", "s1") != b._catalog_name("turns", "s1")
+    assert a.read("turns", "s1").count() == 5  # not repointed to b's 9
+    assert b.read("turns", "s1").count() == 9
+
+    assert a._catalog_name("t", "a-b") != a._catalog_name("t", "a_b")

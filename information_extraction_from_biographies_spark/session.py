@@ -84,10 +84,15 @@ def get_spark(
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
 
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # plain `python` launch: default to local[N]. Under spark-submit
+        # (gateway JVM already running) the --master from the launch
+        # command must win, so no explicit master is set here.
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = 2 * int(cpus) if cpus and cpus.isdigit() else 32

@@ -62,6 +62,14 @@ def _shm_free_gb() -> float:
         return 0.0
 
 
+def default_driver_memory() -> str:
+    """The heap figure get_spark would pick (RAM-derived, clamped): exposed
+    so spark-submit launchers can pass it as --driver-memory — a builder
+    config cannot resize a JVM spark-submit already started."""
+    heap = os.environ.get("SPARK_DRIVER_MEMORY")
+    return heap if heap else f"{max(4, min(48, int(_host_ram_gb() * 0.4)))}g"
+
+
 def get_spark(
     app_name: str = "kg-construct",
     master: str | None = None,
@@ -106,10 +114,7 @@ def get_spark(
     # (measured 53s -> 18s on the verb stage by raising it), while a fixed
     # 48g would OOM library consumers on small hosts. On a cluster this is
     # the per-executor memory knob instead.
-    heap = os.environ.get("SPARK_DRIVER_MEMORY")
-    if heap is None:
-        heap = f"{max(4, min(48, int(_host_ram_gb() * 0.4)))}g"
-    builder = builder.config("spark.driver.memory", heap)
+    builder = builder.config("spark.driver.memory", default_driver_memory())
     # Shuffle/spill files on tmpfs when it is safely large: the sandbox VM's
     # virtio disk serializes shuffle-heavy stages; RAM-backed local dirs
     # take the block device off the critical path (a cluster would use

@@ -36,6 +36,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # make_pyfiles
 
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "40000"))
 CAREER_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "8"))
@@ -109,9 +110,37 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
     max_steal_pct = float(os.environ.get("SPARK_GRAFT_SCALING_MAX_STEAL", "1.0"))
     all_trials: list[dict] = []
+    # Each measurement launches through spark-submit --py-files (the north
+    # rule's deployment shape: the same command a multi-executor cluster
+    # uses, with --master local[N] standing in for the cluster manager and
+    # the engine shipped as dist/engine.zip). --driver-memory must ride
+    # the command line — spark-submit's JVM is already up before any
+    # builder config runs. Falls back to a plain python child if
+    # spark-submit is absent (SPARK_GRAFT_SCALING_SUBMIT=0 forces that).
+    import shutil as _shutil
+
+    submit = _shutil.which("spark-submit")
+    use_submit = submit and os.environ.get("SPARK_GRAFT_SCALING_SUBMIT", "1") == "1"
+    if use_submit:
+        from information_extraction_from_biographies_spark.session import (
+            default_driver_memory,
+        )
+        from make_pyfiles import build as build_zip
+
+        zip_path = build_zip()
+        pyfiles = f"{zip_path},{os.path.join(REPO, 'bench.py')}"
+
     for t in range(trials):
         for cores in (BASE_CORES, 4 * BASE_CORES):
-            cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
+            if use_submit:
+                cmd = [
+                    submit, "--master", f"local[{cores}]",
+                    "--driver-memory", default_driver_memory(),
+                    "--py-files", pyfiles,
+                    os.path.abspath(__file__), "--cores", str(cores),
+                ]
+            else:
+                cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
             if PIN_CPUS:
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             proc = subprocess.run(
@@ -146,6 +175,7 @@ def main() -> None:
     t_n = best_n["triples_per_sec"]
     t_4n = best_4n["triples_per_sec"]
     summary = {
+        "launch": "spark-submit --py-files" if use_submit else "python",
         "n_convs": N_CONVS,
         "career_reps": CAREER_REPS,
         "cpu_pinned": PIN_CPUS,

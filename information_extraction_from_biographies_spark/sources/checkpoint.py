@@ -165,6 +165,43 @@ class CheckpointStore:
         with open(self._lineage_path(table, snapshot_id), encoding="utf-8") as f:
             return json.load(f)
 
+    def lineage_table(self) -> DataFrame:
+        """Every committed stage's per-partition lineage as ONE queryable
+        DataFrame — (table, snapshot_id, partition_file, row_count,
+        total_rows, wall_ms, input_snapshots) — the Iceberg-metadata-table
+        shape (`snapshot.partitions`) of this store. Lets an operator ask
+        "which stage/partition produced these rows" or "where did wall
+        time go" with plain Spark SQL instead of shell-ing over JSON.
+
+        The lineage dir holds one small JSON per stage commit (O(stages),
+        not O(data)), so a driver-side parse is the right tool at any
+        corpus size."""
+        rows = []
+        ldir = os.path.join(self.warehouse, "_lineage")
+        for name in sorted(os.listdir(ldir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(ldir, name), encoding="utf-8") as f:
+                rec = json.load(f)
+            for p in rec["partitions"]:
+                rows.append(
+                    (
+                        rec["table"],
+                        rec["snapshot_id"],
+                        p["partition_file"],
+                        int(p["row_count"]),
+                        int(rec["total_rows"]),
+                        int(rec["metrics"].get("wall_ms", 0)),
+                        {k: str(v) for k, v in rec["input_snapshots"].items()},
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "table string, snapshot_id string, partition_file string, "
+            "row_count long, total_rows long, wall_ms long, "
+            "input_snapshots map<string,string>",
+        )
+
     # -- retention ---------------------------------------------------
     def snapshots(self, table: str) -> list[str]:
         """Committed snapshot ids of a table, oldest first (commit order =

@@ -2,6 +2,7 @@
 before the failure point, and lineage row counts reconcile (north rule)."""
 
 import pytest
+from pyspark.sql import functions as F  # noqa: N812
 
 from information_extraction_from_biographies_spark import fixtures as fx
 from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
@@ -147,3 +148,32 @@ def test_bucketed_catalog_names_scoped_per_warehouse(spark, tmp_path):
     assert b.read("turns", "s1").count() == 9
 
     assert a._catalog_name("t", "a-b") != a._catalog_name("t", "a_b")
+
+
+def test_lineage_table_queryable(spark, tmp_path):
+    """All committed stages' per-partition lineage rows come back as one
+    DataFrame whose totals reconcile with the snapshots."""
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "wh"))
+    store.commit(spark.range(10), "a", "s1", metrics={"stage": "zero"})
+    store.commit(spark.range(7), "b", "s1", input_snapshots={"a": "s1"})
+
+    lt = store.lineage_table()
+    agg = {
+        (r["table"], r["snapshot_id"]): r
+        for r in lt.groupBy("table", "snapshot_id")
+        .agg(
+            F.sum("row_count").alias("n"),
+            F.first("total_rows").alias("tot"),
+            F.first("input_snapshots").alias("inp"),
+        )
+        .collect()
+    }
+    assert agg[("a", "s1")]["n"] == agg[("a", "s1")]["tot"] == 10
+    assert agg[("b", "s1")]["n"] == 7
+    assert dict(agg[("b", "s1")]["inp"]) == {"a": "s1"}
+    # every partition row carries a real file name and a positive count
+    assert lt.filter((F.col("row_count") < 0) | (F.col("partition_file") == "")).count() == 0

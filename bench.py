@@ -172,6 +172,61 @@ def kg_pipeline_run(
     return wall, n_triples, n_turns, n_cooc, n_entities
 
 
+def kg_incremental_run(spark, n_convs: int, delta_pct: int = 10, career_reps: int = 0):
+    """Incremental-maintenance economics: bootstrap a checkpointed base
+    snapshot over ~(100-delta_pct)% of the corpus, then apply the
+    remaining conversations through ``IncrementalPipeline``
+    (``rescan="none"`` — the streaming ingestion posture) and compare the
+    delta wall against the base's full batch-with-checkpoint wall. The
+    base wall stands in for "full recompute" (it underestimates it by the
+    delta fraction, so the reported speedup is conservative).
+
+    Returns {base_wall, delta_wall, speedup, delta_turns,
+    delta_turns_per_sec, base_convs, delta_convs}."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        IncrementalPipeline,
+    )
+    from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+    tdf = spark.read.parquet(
+        materialize_transcripts(spark, n_convs, career_reps=career_reps)
+    )
+    is_delta = F.pmod(F.xxhash64("conv_id"), F.lit(100)) < F.lit(delta_pct)
+    base_t = tdf.filter(~is_delta)
+    delta_t = tdf.filter(is_delta)
+    wh = tempfile.mkdtemp(prefix="kg_incr_")
+    try:
+        t0 = time.monotonic()
+        Pipeline(spark, wh, snapshot_id="base").run(base_t)
+        base_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        # run() is eager — every delta stage table is committed to parquet
+        # before it returns, so this wall is the full maintenance cost
+        IncrementalPipeline(spark, wh, "base", "delta").run(delta_t, rescan="none")
+        delta_wall = time.monotonic() - t0
+        delta_turns = delta_t.count()
+        base_convs = base_t.select("conv_id").distinct().count()
+        delta_convs = delta_t.select("conv_id").distinct().count()
+        return {
+            "base_wall": round(base_wall, 3),
+            "delta_wall": round(delta_wall, 3),
+            "speedup": round(base_wall / delta_wall, 2) if delta_wall > 0 else None,
+            "delta_turns": delta_turns,
+            "delta_turns_per_sec": round(delta_turns / delta_wall, 1)
+            if delta_wall > 0
+            else None,
+            "base_convs": base_convs,
+            "delta_convs": delta_convs,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def _vs_prev(queries: dict[str, float], sf: float, threshold: float = 1.3) -> dict:
     """Regression diff against the newest BENCH_r{N}.json in the repo
     root: per-query ratio (this/prev) for shared queries, flagging
@@ -281,6 +336,19 @@ def main() -> None:
         queries[name] = min(tr["wall"] for tr in (clean_t or trials))
         query_steal[name] = trials
 
+    # Incremental-maintenance economics (single trial, steal recorded —
+    # the ratio base/delta is what matters, and both halves run
+    # back-to-back under the same host conditions). Disable with
+    # SPARK_GRAFT_BENCH_INCR=0; sized at half the flagship corpus to
+    # bound the checkpointed base run's cost.
+    incr = None
+    if os.environ.get("SPARK_GRAFT_BENCH_INCR", "1") == "1":
+        before = _cpu_stat()
+        incr = kg_incremental_run(
+            spark, max(n_convs // 2, 1000), career_reps=career_reps
+        )
+        incr["steal_pct"] = _steal_pct(before, _cpu_stat())
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -307,6 +375,7 @@ def main() -> None:
                     "turns_per_sec": round(n_turns / wall, 2) if wall > 0 else 0.0,
                     "cores": cpus,
                 },
+                "kg_incremental": incr,
             }
         )
     )

@@ -216,10 +216,86 @@ def entity_table(people: DataFrame, aliases: DataFrame, salt: int = 0) -> DataFr
     """→ (name, entity_id): canonical names mapped to their component;
     singleton names (no aliases) map to themselves."""
     comp = connected_components(alias_edges(aliases), salt=salt)
-    return (
-        people.join(comp, people.name == comp.vertex, "left")
+    return entity_table_from_labels(people, comp)
+
+
+def entity_table_from_labels(people: DataFrame, labels: DataFrame) -> DataFrame:
+    """entity_table given precomputed CC labels (vertex, component) — the
+    incremental path reuses prior labels instead of re-running CC."""
+    return people.join(labels, people.name == labels.vertex, "left").select(
+        "name",
+        F.coalesce(F.col("component"), F.col("name")).alias("entity_id"),
+    )
+
+
+def incremental_components(
+    prior_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components after EDGE ADDITIONS, without re-running CC
+    over the full graph — the 10^12-turn maintenance path (components only
+    merge under edge additions in an append-only corpus, never split).
+
+    Contraction argument: every prior component is represented by its
+    label (= lexicographically smallest member, itself a vertex). Map each
+    new edge's endpoints through ``prior_labels`` (unseen vertices map to
+    themselves), then run CC over the mapped edge set ONLY — a graph of
+    O(|new_edges|) vertices (old component labels + brand-new vertices).
+    The mini-CC's min over {old labels, new vertices} equals the global
+    min of the merged component because each old label is already the min
+    of its old component. Untouched components keep their labels.
+
+    Cost: two broadcast-ish joins of new_edges against prior_labels
+    (prior is vocabulary-scale — distinct names/surfaces, not corpus
+    rows), a mini-CC over O(new) edges, and ONE broadcast relabel join
+    over prior_labels — no shuffle of the prior label table and no
+    O(history) CC iteration.
+
+    → (vertex, component) covering all prior vertices plus new ones."""
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    lab_s = prior_labels.select(
+        F.col("vertex").alias("_sv"), F.col("component").alias("_sc")
+    )
+    lab_d = prior_labels.select(
+        F.col("vertex").alias("_dv"), F.col("component").alias("_dc")
+    )
+    flagged = (
+        e.join(lab_s, e.src == lab_s._sv, "left")
+        .join(lab_d, e.dst == lab_d._dv, "left")
         .select(
-            "name",
-            F.coalesce(F.col("component"), F.col("name")).alias("entity_id"),
+            F.coalesce(F.col("_sc"), F.col("src")).alias("src"),
+            F.col("_sc").isNull().alias("src_new"),
+            F.coalesce(F.col("_dc"), F.col("dst")).alias("dst"),
+            F.col("_dc").isNull().alias("dst_new"),
         )
     )
+    mini = connected_components(flagged.select("src", "dst"), max_iter=max_iter)
+
+    # relabel prior vertices whose component merged (mini is O(new) rows —
+    # broadcast against the vocabulary-scale prior table)
+    relabel = F.broadcast(
+        mini.select(F.col("vertex").alias("_mv"), F.col("component").alias("_mc"))
+    )
+    prior_re = (
+        prior_labels.join(relabel, prior_labels.component == F.col("_mv"), "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("_mc"), F.col("component")).alias("component"),
+        )
+    )
+    # genuinely-new vertices: endpoints the prior label table didn't know
+    # (the flagged join already marked them — no membership probe against
+    # the vocabulary-scale prior set needed); both sides of this join are
+    # O(new).
+    nv = (
+        flagged.filter("src_new").select(F.col("src").alias("vertex"))
+        .unionByName(flagged.filter("dst_new").select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    new_vertices = nv.join(mini, "vertex", "inner").select("vertex", "component")
+    return prior_re.unionByName(new_vertices)

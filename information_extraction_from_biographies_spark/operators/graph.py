@@ -20,12 +20,21 @@ from ..gazetteers import COOCCURRENCE_ZOOM_FACTOR
 
 
 def nodes_table(people: DataFrame, aliases: DataFrame, entities: DataFrame) -> DataFrame:
-    """(name, attrs map<alias_type,alias>, entity_id)."""
+    """(name, attrs map<alias_type,alias>, entity_id).
+
+    A person can carry several aliases of one type; the reference's
+    writer keeps the LAST stored one per type (``G.nodes[name][aliasType]
+    = alias`` over Alias_s, Graph.py:12-13) — Mongo insertion order,
+    which is not reproducible. Deterministic equivalent: max alias per
+    type (last under sorted order), so the map key is unique by
+    construction at any corpus scale."""
     attr = (
-        aliases.groupBy("name")
+        aliases.groupBy("name", "alias_type")
+        .agg(F.max("alias").alias("alias"))
+        .groupBy("name")
         .agg(
             F.map_from_entries(
-                F.array_distinct(F.collect_list(F.struct("alias_type", "alias")))
+                F.collect_list(F.struct("alias_type", "alias"))
             ).alias("attrs")
         )
     )

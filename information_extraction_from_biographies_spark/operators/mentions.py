@@ -105,9 +105,25 @@ def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[Data
     tuple (find_and_modify(upsert=True), NER.py:556-561).
     """
     aliases = conv_aliases.select("name", "alias_type", "alias").distinct()
-    # (names − alias_values) ∪ alias_tuple_names in ONE hash aggregate over
-    # a flag union instead of distinct + anti-join + union + distinct
-    # (6 shuffles → 1; this chain sits on the pipeline's critical path).
+    people = people_from_bits(registry_bits(conv_names, conv_aliases))
+    return people, aliases
+
+
+def registry_bits(conv_names: DataFrame, conv_aliases: DataFrame) -> DataFrame:
+    """→ (person, bits): the registry-membership flag aggregate underlying
+    ``build_registry`` — bit 1 = appeared as an extracted name, bit 2 =
+    named in an alias tuple, bit 4 = appeared as an alias VALUE.
+
+    (names − alias_values) ∪ alias_tuple_names in ONE hash aggregate over
+    a flag union instead of distinct + anti-join + union + distinct
+    (6 shuffles → 1; this chain sits on the pipeline's critical path).
+
+    bit_or is associative/idempotent, so bits tables from disjoint
+    transcript slices merge exactly (``merge_registry_bits``) — the
+    vocabulary-scale state that makes the registry incrementally
+    maintainable without rescanning history (U4 is NOT monotone: a new
+    alias value can evict a previously-registered name, so the filtered
+    people table alone cannot be merged)."""
     cand = (
         conv_names.select(F.col("name").alias("person"), F.lit(1).alias("f"))
         .unionByName(conv_aliases.select(F.col("name").alias("person"), F.lit(2).alias("f")))
@@ -117,17 +133,28 @@ def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[Data
             )
         )
     )
-    bits = F.bit_or("f").alias("bits")
-    people = (
-        cand.groupBy("person")
-        .agg(bits)
-        .filter(
+    return cand.groupBy("person").agg(F.bit_or("f").alias("bits"))
+
+
+def merge_registry_bits(*bits_tables: DataFrame) -> DataFrame:
+    """OR-merge (person, bits) tables from disjoint corpus slices — one
+    hash aggregate over vocabulary-scale inputs."""
+    merged = bits_tables[0]
+    for t in bits_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("person").agg(F.bit_or("bits").alias("bits"))
+
+
+def people_from_bits(bits: DataFrame) -> DataFrame:
+    """Apply the U4 + upsert-re-add membership rule (NER.py:542-561) to a
+    (person, bits) table → (name)."""
+    return (
+        bits.filter(
             (F.col("bits").bitwiseAND(2) > 0)
             | ((F.col("bits").bitwiseAND(1) > 0) & (F.col("bits").bitwiseAND(4) == 0))
         )
         .select(F.col("person").alias("name"))
     )
-    return people, aliases
 
 
 def registry_surfaces_fused(conv_names: DataFrame, conv_aliases: DataFrame) -> DataFrame:

@@ -1,0 +1,419 @@
+"""Incremental KG maintenance — process a NEW slice of transcripts against
+a committed base snapshot without recomputing history.
+
+The batch ``Pipeline`` (plans/pipeline.py) is the bootstrap; this module is
+what a 10^12-turn corpus actually runs day-to-day: a delta of conversations
+arrives, and the pipeline must (a) run stages 0-2 on the delta only, (b)
+keep the GLOBAL registry exact even though its U4 rule is non-monotone
+(a newly-seen alias value can evict a previously-registered name —
+NER.py:543-544), (c) re-scan exactly those historical conversations whose
+mention output could have changed, and (d) update entity components
+without re-running connected components over the whole alias graph.
+
+Scale posture (what is O(delta) vs O(vocabulary) vs O(history)):
+
+- stages 0-2 on the delta: O(delta) — per-conversation local.
+- registry merge: the per-person bit_or flag table (``registry_bits``) is
+  associative, so base ⊎ delta is one hash aggregate over VOCABULARY-scale
+  inputs (distinct persons, not corpus rows). The alias registry is a
+  monotone union-distinct at the same scale.
+- affected-conversation detection (``rescan="exact"``): the probe
+  dictionary's changed-surface set (symmetric difference of (person,
+  surface, kind) tuples — additions AND evictions) is collected (it is
+  delta-sized) and matched against history with one shuffle-free
+  mapInPandas READ of the base turn table. O(history) in bytes read — the
+  irreducible cost of exactness — but no shuffle, no state, trivial CPU
+  (an Aho-Corasick pass over text already in the page cache / object
+  store). ``rescan="none"`` skips it for bounded-staleness ingestion
+  (historical mentions of newly-registered people appear at the next full
+  compaction), which is how a real deployment amortizes the read.
+- entity canonicalization: ``incremental_components`` — components only
+  merge under edge additions, so prior labels contract the old graph to
+  one vertex per component and CC runs over the O(delta) new-edge graph;
+  history is touched by ONE broadcast relabel join.
+- stage-2 outputs: committed as DELTA tables (new + rescanned
+  conversations). A snapshot chain (parent pointer + per-snapshot
+  excluded-conversation list) reconstructs the full view — Iceberg's
+  snapshot/delete-file shape on the checkpoint store. Vocabulary-scale
+  tables (registry, bits, CC labels, entities, nodes) are committed FULL
+  each run; corpus-scale tables are never rewritten.
+
+Exactness: ``IncrementalPipeline.run`` over (base, delta) produces tables
+row-for-row equal to the batch ``Pipeline`` over base ∪ delta (pinned by
+tests/test_incremental.py, including chained incremental snapshots), with
+``rescan="exact"``. Delta conversations whose conv_id already exists in
+the base REPLACE the base conversation (re-delivery supersedes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..operators import canonicalize, graph, mentions, normalize, scan, stage2
+from ..sources.checkpoint import CheckpointStore
+from .pipeline import PipelineResult
+
+# corpus-scale tables are delta-committed with chain-resolved reads; the
+# two groups differ in WHICH conversations their delta covers, hence which
+# conversations the chain must drop from the parent view:
+# - stage-0/1 outputs are registry-independent per conversation — the
+#   delta holds only newly-delivered conversations ("replaced_convs")
+# - stage-2+ outputs depend on the global probe dictionary — the delta
+#   additionally holds rescanned historical conversations ("excluded_convs")
+REPLACE_TABLES = frozenset(
+    {"stage0_turns", "stage0_meta", "stage1_names", "stage1_aliases"}
+)
+RESCAN_TABLES = frozenset(
+    {
+        "stage2_mentions",
+        "stage2_triples",
+        "stage2_timeline",
+        "edges",
+        "cooccurrence",
+        "timeline",
+    }
+)
+CORPUS_TABLES = REPLACE_TABLES | RESCAN_TABLES
+
+
+def _meta_path(warehouse: str, snapshot_id: str) -> str:
+    return os.path.join(warehouse, "_incremental", f"{snapshot_id}.json")
+
+
+def snapshot_parent(warehouse: str, snapshot_id: str) -> str | None:
+    """Parent snapshot id if ``snapshot_id`` was committed incrementally."""
+    p = _meta_path(warehouse, snapshot_id)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)["parent"]
+
+
+def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame:
+    """Resolve the FULL contents of ``table`` at ``snapshot_id`` across the
+    incremental snapshot chain: each incremental snapshot holds a delta
+    plus the conv_ids it superseded; the view is
+    ``full(parent) − excluded ∪ delta``. Batch snapshots (no parent
+    metadata) and vocabulary-scale tables read directly. The excluded set
+    is delta-sized → broadcast anti-join; no shuffle of history."""
+    parent = snapshot_parent(store.warehouse, snapshot_id)
+    if parent is None or table not in CORPUS_TABLES:
+        return store.read(table, snapshot_id)
+    base = full_view(store, table, parent)
+    excl_table = "replaced_convs" if table in REPLACE_TABLES else "excluded_convs"
+    excluded = store.read(excl_table, snapshot_id)
+    delta = store.read(table, snapshot_id)
+    return base.join(
+        F.broadcast(excluded), "conv_id", "left_anti"
+    ).unionByName(delta)
+
+
+def _changed_surface_convs(
+    base_turns: DataFrame, changed_surfaces: list[str]
+) -> DataFrame:
+    """conv_ids of historical conversations whose text contains ANY changed
+    probe surface → (conv_id). Shuffle-free scan: surfaces never contain
+    a newline (asserted), so a match in the paragraph-joined conversation
+    text implies a match in some single turn — per-turn matching over the
+    raw partition layout suffices, and only the (tiny) match set shuffles
+    for the distinct."""
+    import pandas as pd
+
+    from ..functions.matcher import AhoCorasick
+
+    if not changed_surfaces:
+        return base_turns.sparkSession.createDataFrame([], "conv_id string")
+    # A surface containing a newline could span turns in the joined text;
+    # none can exist (names/aliases are single-line extractions) — guard so
+    # the shuffle-free shortcut can never silently miss one.
+    bad = [s for s in changed_surfaces if "\n" in s]
+    if bad:
+        raise ValueError(f"probe surfaces must be single-line, got {bad[:3]}")
+    surfaces = sorted(changed_surfaces)
+
+    def _probe(batches):
+        ac = AhoCorasick(surfaces)
+        for pdf in batches:
+            hits = [
+                cid
+                for cid, txt in zip(pdf["conv_id"], pdf["norm_text"])
+                if isinstance(txt, str) and ac.contained(txt)
+            ]
+            yield pd.DataFrame({"conv_id": sorted(set(hits))})
+
+    return (
+        base_turns.select("conv_id", "norm_text")
+        .mapInPandas(_probe, schema="conv_id string")
+        .distinct()
+    )
+
+
+def compact_snapshot(
+    store: CheckpointStore, snapshot_id: str, new_snapshot: str
+) -> list[str]:
+    """Rewrite an incremental chain into a flat BASE snapshot: every
+    table's full view is committed under ``new_snapshot`` with no parent
+    metadata, so later reads stop paying the chain-union plan and the old
+    chain becomes expirable (``CheckpointStore.expire_snapshots``) —
+    Iceberg's rewrite-data-files compaction on this store. Pure rewrite:
+    bounded-staleness ingestion (``rescan="none"``) is healed by a batch
+    ``Pipeline`` run over the compacted turn table, not by compaction
+    itself. Returns the compacted table names."""
+    from .pipeline import STAGES
+
+    tables = list(dict.fromkeys([*STAGES, "registry_bits", "cc_labels"]))
+    done = []
+    for t in tables:
+        if not store.is_committed(t, snapshot_id):
+            continue
+        store.commit(
+            full_view(store, t, snapshot_id),
+            t,
+            new_snapshot,
+            input_snapshots={t: snapshot_id},
+        )
+        done.append(t)
+    return done
+
+
+class IncrementalPipeline:
+    """Apply a transcript delta to a committed snapshot → a new snapshot.
+
+    ``base_snapshot`` may itself be incremental (chains resolve through
+    ``full_view``). All commits carry lineage like the batch pipeline, and
+    ``run`` is resumable: committed incremental stages are skipped."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        base_snapshot: str,
+        snapshot_id: str,
+        user_dict=None,
+    ) -> None:
+        if base_snapshot == snapshot_id:
+            raise ValueError("incremental snapshot id must differ from base")
+        self.spark = spark
+        self.store = CheckpointStore(spark, warehouse)
+        self.warehouse = warehouse
+        self.base = base_snapshot
+        self.snapshot_id = snapshot_id
+        self.user_dict = user_dict
+
+    # -- helpers -----------------------------------------------------
+    def _write_meta(self, rescan_mode: str) -> None:
+        p = _meta_path(self.warehouse, self.snapshot_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(
+                {"parent": self.base, "rescan": rescan_mode},
+                f,
+            )
+
+    def run(
+        self, new_transcripts: DataFrame, rescan: str = "exact"
+    ) -> PipelineResult:
+        if rescan not in ("exact", "none"):
+            raise ValueError(f"rescan must be 'exact' or 'none', got {rescan!r}")
+        store, sid, base = self.store, self.snapshot_id, self.base
+        executed: list[str] = []
+        skipped: list[str] = []
+
+        def _materialize(name: str, build, inputs: dict[str, str]) -> DataFrame:
+            if store.is_committed(name, sid):
+                skipped.append(name)
+                return store.read(name, sid)
+            store.commit(build(), name, sid, input_snapshots=inputs)
+            executed.append(name)
+            return store.read(name, sid)
+
+        # ---- stage 0 (delta only) ----------------------------------
+        norm_turns, norm_meta, enriched0 = normalize.normalize_shared(
+            new_transcripts, persist_enriched=True
+        )
+        d_turns = _materialize("stage0_turns", lambda: norm_turns, {"transcripts": "delta"})
+        d_meta = _materialize("stage0_meta", lambda: norm_meta, {"transcripts": "delta"})
+        enriched0.unpersist()
+
+        # ---- stage 1 (delta extraction + vocabulary-scale merge) ---
+        extracted = mentions.extract_people_combined(
+            d_turns, d_meta, user_dict=self.user_dict
+        ).persist()
+        ext_names, ext_aliases = mentions.split_extracted(extracted)
+        d_names = _materialize("stage1_names", lambda: ext_names, {"stage0_turns": sid})
+        d_aliases = _materialize(
+            "stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}
+        )
+        extracted.unpersist()
+
+        def _base_bits() -> DataFrame:
+            # bootstrap: a batch base has no bits table — derive it once
+            # from the base stage-1 tables (full-view across any chain)
+            if store.is_committed("registry_bits", base):
+                return store.read("registry_bits", base)
+            return mentions.registry_bits(
+                full_view(store, "stage1_names", base),
+                full_view(store, "stage1_aliases", base),
+            )
+
+        bits = _materialize(
+            "registry_bits",
+            lambda: mentions.merge_registry_bits(
+                _base_bits(), mentions.registry_bits(d_names, d_aliases)
+            ),
+            {"stage1_names": sid, "stage1_aliases": sid},
+        )
+        people = _materialize(
+            "stage1_people",
+            lambda: mentions.people_from_bits(bits),
+            {"registry_bits": sid},
+        )
+        base_alias_reg = store.read("stage1_alias_registry", base)
+        alias_reg = _materialize(
+            "stage1_alias_registry",
+            lambda: base_alias_reg.unionByName(
+                d_aliases.select("name", "alias_type", "alias")
+            ).distinct(),
+            {"stage1_aliases": sid},
+        )
+
+        # ---- affected-history detection ----------------------------
+        base_surfaces = mentions.registry_surfaces(
+            store.read("stage1_people", base), base_alias_reg
+        )
+        merged_surfaces = mentions.registry_surfaces(people, alias_reg)
+
+        replaced = _materialize(
+            "replaced_convs",
+            lambda: d_turns.select("conv_id").distinct(),
+            {"stage0_turns": sid},
+        )
+
+        def _excluded() -> DataFrame:
+            delta_convs = replaced
+            if rescan == "none":
+                return delta_convs
+            # symmetric difference of probe tuples — additions AND
+            # evictions both invalidate historical scan output
+            changed = (
+                merged_surfaces.exceptAll(base_surfaces)
+                .unionByName(base_surfaces.exceptAll(merged_surfaces))
+                .select("surface")
+                .distinct()
+            )
+            changed_list = [r["surface"] for r in changed.collect() if r["surface"]]
+            affected = _changed_surface_convs(
+                full_view(store, "stage0_turns", base), changed_list
+            )
+            return affected.unionByName(delta_convs).distinct()
+
+        excluded = _materialize(
+            "excluded_convs", _excluded, {"stage0_turns": sid}
+        )
+        self._write_meta(rescan)
+
+        # ---- stage 2 over delta + rescanned history ----------------
+        rescanned = excluded.join(
+            F.broadcast(d_turns.select("conv_id").distinct()), "conv_id", "left_anti"
+        )
+        base_turns_re = full_view(store, "stage0_turns", base).join(
+            F.broadcast(rescanned), "conv_id", "leftsemi"
+        )
+        base_meta_re = full_view(store, "stage0_meta", base).join(
+            F.broadcast(rescanned), "conv_id", "leftsemi"
+        )
+        base_aliases_re = full_view(store, "stage1_aliases", base).join(
+            F.broadcast(rescanned), "conv_id", "leftsemi"
+        )
+        s2_turns = d_turns.unionByName(base_turns_re, allowMissingColumns=True).select(
+            *d_turns.columns
+        )
+        s2_meta = d_meta.unionByName(base_meta_re, allowMissingColumns=True).select(
+            *d_meta.columns
+        )
+        s2_aliases = d_aliases.unionByName(base_aliases_re)
+
+        index = scan.build_surface_index(merged_surfaces)
+        fused = stage2.fused_scan_extract(s2_turns, s2_meta, index).persist()
+        d_mentions = _materialize(
+            "stage2_mentions",
+            lambda: stage2.mention_rows(fused),
+            {"stage0_turns": sid, "stage1_people": sid},
+        )
+        d_triples = _materialize(
+            "stage2_triples",
+            lambda: stage2.all_triples_fused(fused, s2_aliases, s2_meta),
+            {"stage0_turns": sid, "stage1_people": sid},
+        )
+        d_timeline = _materialize(
+            "stage2_timeline",
+            lambda: stage2.timeline_rows(fused),
+            {"stage0_turns": sid},
+        )
+
+        # ---- stage 3: incremental connected components -------------
+        def _prior_labels() -> DataFrame:
+            if store.is_committed("cc_labels", base):
+                return store.read("cc_labels", base)
+            return canonicalize.connected_components(
+                canonicalize.alias_edges(base_alias_reg)
+            )
+
+        def _labels() -> DataFrame:
+            # every edge not in the base graph comes from the delta's alias
+            # tuples, and re-presenting an edge the prior labels already
+            # reflect is a CC no-op (both endpoints contract to the same
+            # label) — so the DELTA edge set alone is sufficient and the
+            # O(vocabulary) exceptAll against the base edge set is skipped
+            new_edges = canonicalize.alias_edges(d_aliases)
+            return canonicalize.incremental_components(_prior_labels(), new_edges)
+
+        labels = _materialize(
+            "cc_labels", _labels, {"stage1_alias_registry": sid}
+        )
+        entities = _materialize(
+            "stage3_entities",
+            lambda: canonicalize.entity_table_from_labels(people, labels),
+            {"cc_labels": sid, "stage1_people": sid},
+        )
+
+        # ---- stage 4 ----------------------------------------------
+        nodes = _materialize(
+            "nodes",
+            lambda: graph.nodes_table(people, alias_reg, entities),
+            {"stage3_entities": sid},
+        )
+        edges = _materialize("edges", lambda: d_triples, {"stage2_triples": sid})
+        cooc = _materialize(
+            "cooccurrence",
+            lambda: stage2.cooc_scores(fused),
+            {"stage2_mentions": sid},
+        )
+        timeline = _materialize(
+            "timeline",
+            lambda: graph.timeline_final(d_timeline),
+            {"stage2_timeline": sid},
+        )
+        fused.unpersist()
+
+        return PipelineResult(
+            tables={
+                "turns": full_view(store, "stage0_turns", sid),
+                "meta": full_view(store, "stage0_meta", sid),
+                "people": people,
+                "aliases": alias_reg,
+                "mentions": full_view(store, "stage2_mentions", sid),
+                "triples": full_view(store, "stage2_triples", sid),
+                "entities": entities,
+                "nodes": nodes,
+                "edges": full_view(store, "edges", sid),
+                "cooccurrence": full_view(store, "cooccurrence", sid),
+                "timeline": full_view(store, "timeline", sid),
+            },
+            executed_stages=executed,
+            skipped_stages=skipped,
+        )

@@ -37,11 +37,13 @@ STAGES = [
     "stage0_meta",
     "stage1_names",
     "stage1_aliases",
+    "registry_bits",
     "stage1_people",
     "stage1_alias_registry",
     "stage2_mentions",
     "stage2_triples",
     "stage2_timeline",
+    "cc_labels",
     "stage3_entities",
     "nodes",
     "edges",
@@ -121,16 +123,24 @@ class Pipeline:
         conv_aliases = _materialize("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid})
         extracted.unpersist()
 
-        def _people():
-            p, _ = mentions.build_registry(conv_names, conv_aliases)
-            return p
-
-        def _alias_registry():
-            _, a = mentions.build_registry(conv_names, conv_aliases)
-            return a
-
-        people = _materialize("stage1_people", _people, {"stage1_names": sid})
-        alias_reg = _materialize("stage1_alias_registry", _alias_registry, {"stage1_aliases": sid})
+        # the (person, bits) flag table is committed as its own stage: it is
+        # the vocabulary-scale state that lets IncrementalPipeline merge the
+        # U4 registry without rescanning history (bit_or is associative)
+        bits = _materialize(
+            "registry_bits",
+            lambda: mentions.registry_bits(conv_names, conv_aliases),
+            {"stage1_names": sid, "stage1_aliases": sid},
+        )
+        people = _materialize(
+            "stage1_people",
+            lambda: mentions.people_from_bits(bits),
+            {"registry_bits": sid},
+        )
+        alias_reg = _materialize(
+            "stage1_alias_registry",
+            lambda: conv_aliases.select("name", "alias_type", "alias").distinct(),
+            {"stage1_aliases": sid},
+        )
 
         # stage 2 — ONE fused pass over the text computes mention scan,
         # verb cascade, hometown, and timeline together (operators/stage2);
@@ -158,11 +168,19 @@ class Pipeline:
             {"stage0_turns": sid},
         )
 
-        # stage 3
+        # stage 3 — CC labels committed separately so incremental updates
+        # can seed from them (canonicalize.incremental_components)
+        labels = _materialize(
+            "cc_labels",
+            lambda: canonicalize.connected_components(
+                canonicalize.alias_edges(alias_reg), salt=self.cc_salt
+            ),
+            {"stage1_alias_registry": sid},
+        )
         entities = _materialize(
             "stage3_entities",
-            lambda: canonicalize.entity_table(people, alias_reg, salt=self.cc_salt),
-            {"stage1_people": sid, "stage1_alias_registry": sid},
+            lambda: canonicalize.entity_table_from_labels(people, labels),
+            {"cc_labels": sid, "stage1_people": sid},
         )
 
         # stage 4 — co-occurrence comes from the fused per-conv fold

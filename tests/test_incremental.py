@@ -1,0 +1,244 @@
+"""Incremental maintenance: a transcript delta applied to a committed base
+snapshot must reproduce the batch pipeline's output over base ∪ delta
+row-for-row (exact mode), including chained incremental snapshots and the
+incremental connected-components path."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from information_extraction_from_biographies_spark import fixtures as fx
+from information_extraction_from_biographies_spark.operators import canonicalize, mentions
+from information_extraction_from_biographies_spark.plans.incremental import (
+    IncrementalPipeline,
+    full_view,
+)
+from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+
+def _split_convs(spark, fixture, cut):
+    """Fixture transcripts split into (first-`cut`-convs, rest) by conv
+    order of first appearance."""
+    sdf = fx.transcripts_sdf(spark, fixture)
+    conv_ids = [r["conv_id"] for r in sdf.select("conv_id").distinct().orderBy("conv_id").collect()]
+    base_ids = set(conv_ids[:cut])
+    base = sdf.filter(F.col("conv_id").isin(list(base_ids)))
+    delta = sdf.filter(~F.col("conv_id").isin(list(base_ids)))
+    return base, delta
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    out = []
+    for r in df.select(*cols).collect():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, dict):
+                v = tuple(sorted(v.items()))
+            elif isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+COMPARED = [
+    "turns",
+    "meta",
+    "people",
+    "aliases",
+    "mentions",
+    "triples",
+    "entities",
+    "nodes",
+    "edges",
+    "cooccurrence",
+    "timeline",
+]
+
+
+def _assert_equal_results(inc_res, full_res):
+    for t in COMPARED:
+        assert _rows(inc_res.tables[t]) == _rows(full_res.tables[t]), f"table {t} diverged"
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path):
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+
+    Pipeline(spark, str(tmp_path / "inc"), snapshot_id="s1").run(base_t)
+    inc = IncrementalPipeline(
+        spark, str(tmp_path / "inc"), base_snapshot="s1", snapshot_id="s2"
+    ).run(delta_t, rescan="exact")
+
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(inc, full)
+
+
+def test_rescan_set_contains_affected_history(spark, tmp_path):
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+    pipe = IncrementalPipeline(
+        spark, str(tmp_path / "w"), base_snapshot="s1", snapshot_id="s2"
+    )
+    Pipeline(spark, str(tmp_path / "w"), snapshot_id="s1").run(base_t)
+    pipe.run(delta_t, rescan="exact")
+    excluded = {r["conv_id"] for r in pipe.store.read("excluded_convs", "s2").collect()}
+    delta_ids = {r["conv_id"] for r in delta_t.select("conv_id").distinct().collect()}
+    assert delta_ids <= excluded
+    # at least one base conversation rescanned (shared 字/號 aliases create
+    # probe tuples that appear in historical conversations' text)
+    assert excluded - delta_ids, "no historical conversation was rescanned"
+    # and NOT all of history (the rescan is targeted, not a full recompute)
+    base_ids = {r["conv_id"] for r in base_t.select("conv_id").distinct().collect()}
+    assert (excluded - delta_ids) < base_ids
+
+
+def test_incremental_chain_matches_full(spark, tmp_path):
+    fixture = fx.make_fixture(n_convs=18, seed=5)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    ids = [r["conv_id"] for r in sdf.select("conv_id").distinct().orderBy("conv_id").collect()]
+    s0, s1, s2 = set(ids[:10]), set(ids[10:14]), set(ids[14:])
+
+    wh = str(tmp_path / "chain")
+    Pipeline(spark, wh, snapshot_id="v1").run(sdf.filter(F.col("conv_id").isin(list(s0))))
+    IncrementalPipeline(spark, wh, "v1", "v2").run(
+        sdf.filter(F.col("conv_id").isin(list(s1))), rescan="exact"
+    )
+    inc = IncrementalPipeline(spark, wh, "v2", "v3").run(
+        sdf.filter(F.col("conv_id").isin(list(s2))), rescan="exact"
+    )
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(sdf)
+    _assert_equal_results(inc, full)
+
+
+def test_incremental_resume_skips_committed(spark, tmp_path):
+    fixture = fx.make_fixture(n_convs=10, seed=9)
+    base_t, delta_t = _split_convs(spark, fixture, 7)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    first = IncrementalPipeline(spark, wh, "s1", "s2").run(delta_t)
+    assert first.executed_stages and not first.skipped_stages
+    again = IncrementalPipeline(spark, wh, "s1", "s2").run(delta_t)
+    assert not again.executed_stages
+    assert set(again.skipped_stages) == set(first.executed_stages)
+
+
+def test_rescan_none_bounded_staleness(spark, tmp_path):
+    """rescan='none' processes only the delta conversations; historical
+    stage-2 rows are carried verbatim (bounded staleness, no history
+    read)."""
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+    wh = str(tmp_path / "w")
+    base_res = Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    base_mentions = _rows(base_res.tables["mentions"])
+    pipe = IncrementalPipeline(spark, wh, "s1", "s2")
+    inc = pipe.run(delta_t, rescan="none")
+    excluded = {r["conv_id"] for r in pipe.store.read("excluded_convs", "s2").collect()}
+    delta_ids = {r["conv_id"] for r in delta_t.select("conv_id").distinct().collect()}
+    assert excluded == delta_ids
+    carried = _rows(
+        inc.tables["mentions"].filter(~F.col("conv_id").isin(list(delta_ids)))
+    )
+    assert carried == base_mentions
+
+
+def test_incremental_components_parity_random_graphs(spark):
+    """incremental_components(prior, E2) == connected_components(E1 ∪ E2)
+    over randomized graphs, including merges across old components, brand
+    new vertices, and a new vertex becoming the component minimum."""
+    rng = random.Random(17)
+    for trial in range(4):
+        n_old, n_new = 40, 25
+        e1 = [
+            (f"v{rng.randrange(n_old):03d}", f"v{rng.randrange(n_old):03d}")
+            for _ in range(50)
+        ]
+        # new edges touch old vertices, fresh vertices, and an 'a*' vertex
+        # that sorts below every old label
+        e2 = [
+            (f"v{rng.randrange(n_old):03d}", f"w{rng.randrange(n_new):03d}")
+            for _ in range(20)
+        ] + [
+            (f"w{rng.randrange(n_new):03d}", f"w{rng.randrange(n_new):03d}")
+            for _ in range(10)
+        ] + [(f"a{trial}", f"v{rng.randrange(n_old):03d}")]
+        df1 = spark.createDataFrame(e1, "src string, dst string")
+        df2 = spark.createDataFrame(e2, "src string, dst string")
+        prior = canonicalize.connected_components(df1)
+        got = canonicalize.incremental_components(prior, df2)
+        want = canonicalize.connected_components(df1.unionByName(df2))
+        got_rows = {(r["vertex"], r["component"]) for r in got.collect()}
+        want_rows = {(r["vertex"], r["component"]) for r in want.collect()}
+        assert got_rows == want_rows, f"trial {trial} diverged"
+        # every vertex labeled exactly once
+        assert len({v for v, _ in got_rows}) == len(got_rows)
+
+
+def test_incremental_components_untouched_components_keep_labels(spark):
+    e1 = spark.createDataFrame(
+        [("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    e2 = spark.createDataFrame([("c", "d")], "src string, dst string")
+    prior = canonicalize.connected_components(e1)
+    got = {
+        (r["vertex"], r["component"])
+        for r in canonicalize.incremental_components(prior, e2).collect()
+    }
+    assert got == {
+        ("b", "b"),
+        ("c", "b"),
+        ("d", "b"),
+        ("x", "x"),
+        ("y", "x"),
+    }
+
+
+def test_registry_bits_merge_associative(spark):
+    fixture = fx.make_fixture(n_convs=12, seed=4)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    from information_extraction_from_biographies_spark.operators import normalize
+
+    turns, meta = normalize.normalize(sdf)
+    names, aliases = mentions.extract_people(turns, meta)
+    whole = mentions.registry_bits(names, aliases)
+
+    ids = [r["conv_id"] for r in sdf.select("conv_id").distinct().collect()]
+    half = set(ids[: len(ids) // 2])
+    parts = [
+        mentions.registry_bits(
+            names.filter(F.col("conv_id").isin(list(half))),
+            aliases.filter(F.col("conv_id").isin(list(half))),
+        ),
+        mentions.registry_bits(
+            names.filter(~F.col("conv_id").isin(list(half))),
+            aliases.filter(~F.col("conv_id").isin(list(half))),
+        ),
+    ]
+    merged = mentions.merge_registry_bits(*parts)
+    assert _rows(whole) == _rows(merged)
+    # and the filtered registry matches build_registry
+    p1 = _rows(mentions.people_from_bits(whole))
+    p2, _ = mentions.build_registry(names, aliases)
+    assert p1 == _rows(p2)
+
+
+def test_full_view_resolves_chain(spark, tmp_path):
+    fixture = fx.make_fixture(n_convs=12, seed=6)
+    base_t, delta_t = _split_convs(spark, fixture, 8)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    pipe = IncrementalPipeline(spark, wh, "s1", "s2")
+    pipe.run(delta_t)
+    turns = full_view(pipe.store, "stage0_turns", "s2")
+    want = {r["conv_id"] for r in fx.transcripts_sdf(spark, fixture).select("conv_id").distinct().collect()}
+    got = {r["conv_id"] for r in turns.select("conv_id").distinct().collect()}
+    assert got == want
+    # no duplicated conversation rows across the chain
+    n_turns = turns.count()
+    assert n_turns == fx.transcripts_sdf(spark, fixture).count()

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+from information_extraction_from_biographies_spark.plans.pipeline import STAGES
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -44,9 +46,9 @@ def test_spark_submit_pyfiles_end_to_end_and_resume(tmp_path):
 
     first = _submit(zip_path, tmp_path, "--warehouse", wh)
     assert first["precision"] == 1.0 and first["recall"] == 1.0
-    assert len(first["executed_stages"]) == 14 and not first["skipped_stages"]
+    assert len(first["executed_stages"]) == len(STAGES) and not first["skipped_stages"]
     assert first["master"] == "local[4]"  # --master from the launch command won
 
     second = _submit(zip_path, tmp_path, "--warehouse", wh)
-    assert not second["executed_stages"] and len(second["skipped_stages"]) == 14
+    assert not second["executed_stages"] and len(second["skipped_stages"]) == len(STAGES)
     assert second["precision"] == 1.0 and second["recall"] == 1.0

@@ -200,15 +200,37 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: int = 10, career_reps: in
     base_t = tdf.filter(~is_delta)
     delta_t = tdf.filter(is_delta)
     wh = tempfile.mkdtemp(prefix="kg_incr_")
+    # decouple from the headline queries' session state before timing
+    spark.catalog.clearCache()
+    max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "1.0"))
+    trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
     try:
         t0 = time.monotonic()
         Pipeline(spark, wh, snapshot_id="base").run(base_t)
         base_wall = time.monotonic() - t0
-        t0 = time.monotonic()
-        # run() is eager — every delta stage table is committed to parquet
-        # before it returns, so this wall is the full maintenance cost
-        IncrementalPipeline(spark, wh, "base", "delta").run(delta_t, rescan="none")
-        delta_wall = time.monotonic() - t0
+        # delta trials share the bootstrap: each applies the same delta to
+        # the same base under a fresh snapshot id; best steal-clean wall
+        # wins (same policy as the flagship — an isolated rerun measured
+        # 2.6x below a dirty-session first attempt)
+        trial_log = []
+        for t in range(max(trials, 1) + 1):
+            before = _cpu_stat()
+            t0 = time.monotonic()
+            # run() is eager — every delta stage table is committed to
+            # parquet before it returns: the full maintenance cost
+            IncrementalPipeline(spark, wh, "base", f"delta{t}").run(
+                delta_t, rescan="none"
+            )
+            w = time.monotonic() - t0
+            steal = _steal_pct(before, _cpu_stat())
+            trial_log.append(
+                {"wall": round(w, 3), "steal_pct": steal, "discarded": steal > max_steal}
+            )
+            clean = [tr for tr in trial_log if not tr["discarded"]]
+            if len(trial_log) >= max(trials, 1) and clean:
+                break
+        clean = [tr for tr in trial_log if not tr["discarded"]]
+        delta_wall = min(tr["wall"] for tr in (clean or trial_log))
         delta_turns = delta_t.count()
         base_convs = base_t.select("conv_id").distinct().count()
         delta_convs = delta_t.select("conv_id").distinct().count()
@@ -222,6 +244,7 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: int = 10, career_reps: in
             else None,
             "base_convs": base_convs,
             "delta_convs": delta_convs,
+            "trials": trial_log,
         }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -331,6 +354,13 @@ def main() -> None:
             )
             clean_t = [tr for tr in trials if not tr["discarded"]]
             if len(trials) >= max(kg_trials, 1) and clean_t:
+                # sub-2s queries are the most noise-sensitive (a co-tenant
+                # IO burst the steal probe can't see inflates them 2-6x);
+                # buy them one extra trial — ~1s each
+                if min(tr["wall"] for tr in clean_t) < 2.0 and len(trials) < max(
+                    kg_trials, 1
+                ) + 1:
+                    continue
                 break
         clean_t = [tr for tr in trials if not tr["discarded"]]
         queries[name] = min(tr["wall"] for tr in (clean_t or trials))

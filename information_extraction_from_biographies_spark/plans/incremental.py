@@ -318,24 +318,32 @@ class IncrementalPipeline:
 
         # ---- stage 2 over delta + rescanned history ----------------
         rescanned = excluded.join(
-            F.broadcast(d_turns.select("conv_id").distinct()), "conv_id", "left_anti"
+            F.broadcast(replaced), "conv_id", "left_anti"
         )
-        base_turns_re = full_view(store, "stage0_turns", base).join(
-            F.broadcast(rescanned), "conv_id", "leftsemi"
-        )
-        base_meta_re = full_view(store, "stage0_meta", base).join(
-            F.broadcast(rescanned), "conv_id", "leftsemi"
-        )
-        base_aliases_re = full_view(store, "stage1_aliases", base).join(
-            F.broadcast(rescanned), "conv_id", "leftsemi"
-        )
-        s2_turns = d_turns.unionByName(base_turns_re, allowMissingColumns=True).select(
-            *d_turns.columns
-        )
-        s2_meta = d_meta.unionByName(base_meta_re, allowMissingColumns=True).select(
-            *d_meta.columns
-        )
-        s2_aliases = d_aliases.unionByName(base_aliases_re)
+        # an empty rescan set (always under rescan="none"; common under
+        # "exact" when the delta registers no changed surfaces) would
+        # still force three full history reads through the unions below —
+        # gate them on one cheap probe of the tiny committed table
+        any_rescan = rescan != "none" and bool(rescanned.limit(1).count())
+        if any_rescan:
+            base_turns_re = full_view(store, "stage0_turns", base).join(
+                F.broadcast(rescanned), "conv_id", "leftsemi"
+            )
+            base_meta_re = full_view(store, "stage0_meta", base).join(
+                F.broadcast(rescanned), "conv_id", "leftsemi"
+            )
+            base_aliases_re = full_view(store, "stage1_aliases", base).join(
+                F.broadcast(rescanned), "conv_id", "leftsemi"
+            )
+            s2_turns = d_turns.unionByName(
+                base_turns_re, allowMissingColumns=True
+            ).select(*d_turns.columns)
+            s2_meta = d_meta.unionByName(
+                base_meta_re, allowMissingColumns=True
+            ).select(*d_meta.columns)
+            s2_aliases = d_aliases.unionByName(base_aliases_re)
+        else:
+            s2_turns, s2_meta, s2_aliases = d_turns, d_meta, d_aliases
 
         index = scan.build_surface_index(merged_surfaces)
         fused = stage2.fused_scan_extract(s2_turns, s2_meta, index).persist()

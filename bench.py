@@ -172,7 +172,7 @@ def kg_pipeline_run(
     return wall, n_triples, n_turns, n_cooc, n_entities
 
 
-def kg_incremental_run(spark, n_convs: int, delta_pct: int = 10, career_reps: int = 0):
+def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps: int = 0):
     """Incremental-maintenance economics: bootstrap a checkpointed base
     snapshot over ~(100-delta_pct)% of the corpus, then apply the
     remaining conversations through ``IncrementalPipeline``
@@ -196,7 +196,7 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: int = 10, career_reps: in
     tdf = spark.read.parquet(
         materialize_transcripts(spark, n_convs, career_reps=career_reps)
     )
-    is_delta = F.pmod(F.xxhash64("conv_id"), F.lit(100)) < F.lit(delta_pct)
+    is_delta = F.pmod(F.xxhash64("conv_id"), F.lit(1000)) < F.lit(int(delta_pct * 10))
     base_t = tdf.filter(~is_delta)
     delta_t = tdf.filter(is_delta)
     wh = tempfile.mkdtemp(prefix="kg_incr_")

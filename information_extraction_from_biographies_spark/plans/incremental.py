@@ -42,7 +42,13 @@ Exactness: ``IncrementalPipeline.run`` over (base, delta) produces tables
 row-for-row equal to the batch ``Pipeline`` over base ∪ delta (pinned by
 tests/test_incremental.py, including chained incremental snapshots), with
 ``rescan="exact"``. Delta conversations whose conv_id already exists in
-the base REPLACE the base conversation (re-delivery supersedes).
+the base REPLACE the base conversation (re-delivery supersedes) — at the
+corpus-table level. The registry bit flags are append-monotone, so a
+redelivered conversation cannot RETRACT flags its earlier version
+contributed (names it no longer mentions stay registered until a batch
+re-run over the compacted corpus); under the input contract transcripts
+are append-only and conv_ids never re-deliver with different content, so
+this is a documented edge, not an operating mode.
 """
 
 from __future__ import annotations
@@ -178,6 +184,26 @@ def compact_snapshot(
         )
         done.append(t)
     return done
+
+
+def retire_chain(warehouse: str, tip: str) -> list[str]:
+    """Remove the incremental metadata of ``tip`` and every ancestor —
+    the snapshots stop being chain-protected and become ordinary expiry
+    candidates (``CheckpointStore.expire_snapshots``). Call AFTER
+    ``compact_snapshot`` has rewritten the chain into a flat base;
+    ``full_view`` on retired ids degrades to direct delta reads, so the
+    compacted snapshot is the only consistent read point afterwards.
+    Returns the retired snapshot ids (tip first)."""
+    retired = []
+    sid = tip
+    while sid is not None:
+        p = _meta_path(warehouse, sid)
+        parent = snapshot_parent(warehouse, sid)
+        if os.path.exists(p):
+            os.remove(p)
+            retired.append(sid)
+        sid = parent
+    return retired
 
 
 class IncrementalPipeline:

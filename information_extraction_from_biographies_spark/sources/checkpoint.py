@@ -218,17 +218,43 @@ class CheckpointStore:
                     found.append((os.path.getmtime(lp), sid))
         return [sid for _m, sid in sorted(found)]
 
+    def _chain_protected(self) -> set[str]:
+        """Snapshot ids that a LIVE incremental snapshot still resolves
+        through: every ancestor on a chain whose tip metadata exists.
+        Expiring one of these would silently truncate ``full_view``'s
+        parent-union, so they are never expiry victims. Incremental
+        metadata is removed by compaction (compact_snapshot + deleting
+        the chain's _incremental files), which is the supported way to
+        retire a chain."""
+        inc_dir = os.path.join(self.warehouse, "_incremental")
+        protected: set[str] = set()
+        if not os.path.isdir(inc_dir):
+            return protected
+        for name in os.listdir(inc_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(inc_dir, name), encoding="utf-8") as f:
+                protected.add(json.load(f)["parent"])
+            protected.add(name[: -len(".json")])
+        return protected
+
     def expire_snapshots(self, table: str, keep_last: int = 2) -> list[str]:
         """Drop all but the newest ``keep_last`` committed snapshots of a
         table (Iceberg's expire_snapshots shape): the lineage JSON is
         removed FIRST — after that the snapshot is uncommitted, so a
         crash mid-delete leaves garbage files, never a half-valid
         snapshot — then the data directory and any bucket catalog entry.
+        Snapshots that live incremental chains still reference (parents
+        or members of an unretired chain) are skipped — expiring one
+        would break ``plans.incremental.full_view`` for every descendant.
         Returns the expired ids."""
         import shutil
 
         sids = self.snapshots(table)
-        victims = sids[: max(len(sids) - keep_last, 0)]
+        protected = self._chain_protected()
+        victims = [
+            sid for sid in sids[: max(len(sids) - keep_last, 0)] if sid not in protected
+        ]
         for sid in victims:
             lp = self._lineage_path(table, sid)
             with open(lp, encoding="utf-8") as f:

@@ -144,3 +144,36 @@ def test_compaction_flattens_chain(spark, tmp_path):
     assert _rows(full_view(store, "stage2_triples", "c1")) == want
     # and a further delta can chain off the compacted base
     assert latest_snapshot(wh, "c1") == "c1"
+
+
+def test_expiry_protects_live_chains(spark, tmp_path):
+    """expire_snapshots must not delete a snapshot an incremental chain
+    still resolves through; after compaction + retire_chain it may."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        retire_chain,
+    )
+
+    fixture = fx.make_fixture(n_convs=10, seed=11)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    ids = sorted(r["conv_id"] for r in sdf.select("conv_id").distinct().collect())
+    wh = str(tmp_path / "wh")
+    Pipeline(spark, wh, snapshot_id="v1").run(
+        sdf.filter(F.col("conv_id").isin(ids[:7]))
+    )
+    IncrementalPipeline(spark, wh, "v1", "v2").run(
+        sdf.filter(~F.col("conv_id").isin(ids[:7])), rescan="none"
+    )
+    store = CheckpointStore(spark, wh)
+    # v1 is v2's parent and v2 is a live tip: with keep_last=0 neither may
+    # be expired while the chain lives
+    assert store.expire_snapshots("stage0_turns", keep_last=0) == []
+    assert store.is_committed("stage0_turns", "v1")
+
+    compact_snapshot(store, "v2", "c1")
+    # only incremental members carry metadata; the batch base v1 simply
+    # stops being protected once v2's metadata is gone
+    assert retire_chain(wh, "v2") == ["v2"]
+    expired = store.expire_snapshots("stage0_turns", keep_last=1)
+    assert set(expired) == {"v1", "v2"}
+    assert not store.is_committed("stage0_turns", "v1")
+    assert store.is_committed("stage0_turns", "c1")

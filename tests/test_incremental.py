@@ -242,3 +242,22 @@ def test_full_view_resolves_chain(spark, tmp_path):
     # no duplicated conversation rows across the chain
     n_turns = turns.count()
     assert n_turns == fx.transcripts_sdf(spark, fixture).count()
+
+
+def test_full_view_plan_never_shuffles_history(spark, tmp_path):
+    """The chain union's exclusion is a broadcast anti-join: the parent
+    (history) side must not pass through an Exchange before the join."""
+    fixture = fx.make_fixture(n_convs=10, seed=15)
+    base_t, delta_t = _split_convs(spark, fixture, 7)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    pipe = IncrementalPipeline(spark, wh, "s1", "s2")
+    pipe.run(delta_t, rescan="none")
+    plan = (
+        full_view(pipe.store, "stage0_turns", "s2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -296,8 +296,16 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "12000"))
     career_reps = int(os.environ.get("SPARK_GRAFT_KG_REPS", "4"))
+    # Shuffle parallelism = core count: the flagship's cost is two
+    # conv-grouped Python passes whose per-task Arrow/worker overhead
+    # dominates at over-decomposed widths — measured at 12k convs /
+    # local[32]: 64 partitions 19.3-22.8 s, 48 -> 15.3-15.5 s, 32 ->
+    # 13.3-14.8 s (steal-annotated A/B, /tmp log reproduced by rerunning
+    # kg_pipeline_run under each width). Relational shuffles stay right-
+    # sized via AQE coalescing. Override with SPARK_GRAFT_SHUFFLE.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 16))))
     spark = get_spark(
-        app_name="kg-bench", master=f"local[{cpus}]", shuffle_partitions=64
+        app_name="kg-bench", master=f"local[{cpus}]", shuffle_partitions=shuffle
     )
 
     queries: dict[str, float] = {}
@@ -339,6 +347,19 @@ def main() -> None:
     # inflate a 0.5s query 10-30x mid-run). One retry beyond the default
     # K when every trial of a query was steal-contaminated.
     qdict = entry.queries()
+    # Untimed page-cache warmup of the sf tables: the first query after a
+    # cache-evicting phase (the flagship, a noisy co-tenant) otherwise
+    # pays cold parquet reads — measured q1 at 6.2 s cold vs 0.7 s warm.
+    # One count per table touches every row group; same rationale as the
+    # flagship's untimed worker-pool warmup.
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:  # noqa: BLE001 — missing optional table
+            pass
     query_steal: dict[str, list[dict]] = {}
     for name in HEADLINE:
         trials: list[dict] = []

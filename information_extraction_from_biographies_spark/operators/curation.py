@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 # Deliberately conservative patterns (precision over recall: a scrub
@@ -231,4 +231,98 @@ def pack_sequences(
     return sel.repartition(partitions, id_col).mapInPandas(
         _pack,
         schema=f"{id_col} string, {tokens_col} long, pack_id string, pack_tokens long",
+    )
+
+
+def ngram_hash_array(text: Column, n: int = 13) -> Column:
+    """``array<bigint>``: xxhash64 of each word ``n``-gram of the
+    normalized text (lowercase; any non-letter/digit run is one space —
+    the usual "loose match" normalization, so punctuation/casing edits
+    don't defeat the overlap test). Pure column expressions: normalize →
+    split → slice window per position → hash; no UDF, no shuffle.
+
+    Texts shorter than ``n`` words hash their FULL word sequence as one
+    gram — an eval item of 5 words must still be matchable, and the same
+    rule on the corpus side keeps the semantics symmetric. The array is
+    de-duplicated (``array_distinct``) so a downstream hit count means
+    DISTINCT overlapping grams, not repetitions of one gram."""
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text, r"[^\p{L}\p{N}]+", " ")), " "),
+        lambda t: t != "",
+    )
+    full = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) == 0, F.array().cast("array<bigint>"))
+        .when(F.size(toks) < n, full)
+        .otherwise(grams)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    contamination: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cont_text_col: str | None = None,
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (or flag) training documents that overlap a held-out /
+    benchmark set by at least ``min_hits`` distinct word ``n``-grams —
+    the GPT-3-style decontamination step every training-data pipeline
+    runs before export.
+
+    Scale shape: the contamination side is SMALL by contract (an eval
+    suite — thousands to millions of items, never the corpus), so its
+    distinct gram-hash blocklist is built once and broadcast. The corpus
+    side is one linear pass: per-doc gram array (no UDF) → explode
+    (Generate — row amplification ×~words/doc but NO shuffle) →
+    broadcast LEFT SEMI join against the blocklist → one hash aggregate
+    on ``id_col`` (map-side partial count) to apply ``min_hits``. The
+    final subtract/annotate join of hit ids back to ``docs`` is left to
+    AQE: hit sets are usually tiny (runtime broadcast), but nothing
+    breaks if an adversarial corpus makes them huge (plain hash join).
+
+    ``mode="drop"`` returns the clean corpus unchanged in schema;
+    ``mode="flag"`` returns all docs + ``n_contaminated_grams`` (0 for
+    clean docs) + boolean ``contaminated`` for audit before the drop.
+
+    Collisions: two different grams sharing an xxhash64 value could
+    over-flag one doc per ~2^32 distinct-gram universes (birthday bound)
+    — immaterial against the removal-by-overlap objective (false
+    positives remove a training doc, never leak an eval item)."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    cont_text_col = cont_text_col or text_col
+    blocklist = (
+        contamination.select(
+            F.explode(ngram_hash_array(F.col(cont_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(ngram_hash_array(F.col(text_col), n)).alias("gram"),
+        )
+        .join(F.broadcast(blocklist), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") >= min_hits)
+    )
+    if mode == "drop":
+        return docs.join(hits, id_col, "left_anti")
+    return docs.join(hits, id_col, "left").select(
+        docs["*"],
+        F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).alias(
+            "n_contaminated_grams"
+        ),
+        (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
     )

@@ -189,3 +189,127 @@ def test_pack_sequences_closes_full_bins_linear(spark):
     assert len(out) == 20_000
     assert len({r["pack_id"] for r in out}) == 20_000  # all singletons
     assert wall < 30  # quadratic path took minutes
+
+
+# --- decontamination ---------------------------------------------------
+
+
+def _norm_tokens(text: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.sub(r"[^\w]+", " ", text.lower()).split() if t]
+
+
+def _grams(text: str, n: int) -> set[tuple[str, ...]]:
+    toks = _norm_tokens(text)
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {tuple(toks)}
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _expected_contaminated(docs, cont, n, min_hits):
+    block = set().union(*(_grams(t, n) for _i, t in cont)) if cont else set()
+    out = {}
+    for i, t in docs:
+        hits = len(_grams(t, n) & block)
+        if hits >= min_hits:
+            out[i] = hits
+    return out
+
+
+@pytest.fixture(scope="module")
+def decon_data():
+    # eval items, and docs that embed their spans verbatim / edited
+    eval_items = [
+        ("e1", "The quick brown fox jumps over the lazy dog near the old river bank today."),
+        ("e2", "Paris is the capital of France, and Berlin is the capital of Germany!"),
+    ]
+    docs = [
+        # verbatim containment of e1 (with different punctuation/casing)
+        ("d1", "intro text THE QUICK brown fox, jumps over the lazy dog near the old river bank today... outro"),
+        # clean doc sharing a few words but no 6-gram
+        ("d2", "the quick red fox sleeps under a new river bridge tomorrow at dawn"),
+        # contains e2's span once
+        ("d3", "trivia: paris is the capital of france and berlin is the capital of germany (wiki)"),
+        # clean long doc
+        ("d4", " ".join(f"word{i}" for i in range(40))),
+        # empty text
+        ("d5", ""),
+    ]
+    return eval_items, docs
+
+
+def test_decontaminate_drop_and_flag_match_python_oracle(spark, decon_data):
+    from information_extraction_from_biographies_spark.operators.curation import decontaminate
+
+    eval_items, docs = decon_data
+    n = 6
+    cont = spark.createDataFrame(eval_items, "item_id string, text string")
+    corpus = spark.createDataFrame(docs, "doc_id string, text string")
+    expected = _expected_contaminated(docs, eval_items, n, 1)
+    assert set(expected) == {"d1", "d3"}  # fixture sanity
+
+    kept = {r["doc_id"] for r in decontaminate(corpus, cont, n=n).collect()}
+    assert kept == {i for i, _ in docs} - set(expected)
+
+    flagged = {
+        r["doc_id"]: (r["contaminated"], r["n_contaminated_grams"])
+        for r in decontaminate(corpus, cont, n=n, mode="flag").collect()
+    }
+    assert len(flagged) == len(docs)  # flag mode keeps every row
+    for i, _t in docs:
+        assert flagged[i][0] == (i in expected)
+        assert flagged[i][1] == expected.get(i, 0)
+
+
+def test_decontaminate_min_hits_thresholds(spark, decon_data):
+    from information_extraction_from_biographies_spark.operators.curation import decontaminate
+
+    eval_items, docs = decon_data
+    n = 6
+    cont = spark.createDataFrame(eval_items, "item_id string, text string")
+    corpus = spark.createDataFrame(docs, "doc_id string, text string")
+    exp2 = _expected_contaminated(docs, eval_items, n, 2)
+    kept = {r["doc_id"] for r in decontaminate(corpus, cont, n=n, min_hits=2).collect()}
+    assert kept == {i for i, _ in docs} - set(exp2)
+    # d1 embeds a 15-token span -> 10 distinct 6-grams; survives only huge thresholds
+    assert "d1" not in kept and exp2["d1"] == 10
+
+
+def test_decontaminate_short_eval_item_full_sequence_gram(spark):
+    from information_extraction_from_biographies_spark.operators.curation import decontaminate
+
+    # eval item shorter than n: its FULL 3-word sequence is the gram, and
+    # a doc shorter than n matching it exactly is caught; a doc merely
+    # CONTAINING those 3 words inside a longer text is NOT (its grams are
+    # all full-width) — symmetric short-text rule
+    cont = spark.createDataFrame([("e", "rare answer token")], "item_id string, text string")
+    docs = [("short_exact", "Rare ANSWER token!"), ("long_contains", "x " * 10 + "rare answer token " + "y " * 10)]
+    corpus = spark.createDataFrame(docs, "doc_id string, text string")
+    kept = {r["doc_id"] for r in decontaminate(corpus, cont, n=13).collect()}
+    assert kept == {"long_contains"}
+
+
+def test_decontaminate_corpus_side_plan_shape(spark, decon_data):
+    import contextlib
+    import io
+
+    from information_extraction_from_biographies_spark.operators.curation import decontaminate
+
+    eval_items, docs = decon_data
+    cont = spark.createDataFrame(eval_items, "item_id string, text string")
+    corpus = spark.createDataFrame(docs, "doc_id string, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decontaminate(corpus, cont, n=6, mode="flag").explain("formatted")
+    plan = buf.getvalue()
+    # blocklist reaches the semi join as a broadcast; no Python UDF eval
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the two aggregation-side shuffles (blocklist distinct is on
+    # the small side): the corpus path shuffles once, for the per-doc
+    # hit count, never for the gram explode
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 4  # distinct(2: partial/final reuse) + hit-agg + flag join

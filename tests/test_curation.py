@@ -305,11 +305,47 @@ def test_decontaminate_corpus_side_plan_shape(spark, decon_data):
     with contextlib.redirect_stdout(buf):
         decontaminate(corpus, cont, n=6, mode="flag").explain("formatted")
     plan = buf.getvalue()
-    # blocklist reaches the semi join as a broadcast; no Python UDF eval
+    # blocklist reaches the semi join as a broadcast; gram hashing is the
+    # Arrow-vectorized kernel (MapInPandas), never row-at-a-time python
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # exactly the two aggregation-side shuffles (blocklist distinct is on
-    # the small side): the corpus path shuffles once, for the per-doc
-    # hit count, never for the gram explode
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # the corpus path shuffles once, for the per-doc hit count — never
+    # for the gram rows (blocklist distinct is on the small side)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 4  # distinct(2: partial/final reuse) + hit-agg + flag join
+
+
+def test_ngram_kernel_matches_prefix_hash_family():
+    # the vectorized substring-hash algebra must equal the fingerprint
+    # family's prefix_hash on each gram's text — the property that keeps
+    # the kernel SQL-mirrorable (hashing.prefix_hash_sql)
+    import re
+
+    import numpy as np
+
+    from information_extraction_from_biographies_spark.functions import hashing as H
+    from information_extraction_from_biographies_spark.operators.curation import (
+        PowTable,
+        _ngram_poly_hashes,
+    )
+
+    pows = PowTable()
+    rng = np.random.RandomState(5)
+    vocab = ["alpha", "Beta", "γάμμα", "d-4", "e.5", "KAPPA7", "z"]
+    for trial in range(30):
+        k = int(rng.randint(0, 12))
+        text = " , ".join(vocab[i] for i in rng.randint(0, len(vocab), size=k))
+        n = int(rng.randint(2, 6))
+        got = set(_ngram_poly_hashes(text, n, pows).tolist())
+        toks = [t for t in re.sub(r"[\W_]+", " ", text.lower()).split() if t]
+        if not toks:
+            expected = set()
+        elif len(toks) < n:
+            expected = {H.prefix_hash64(H.codepoints(" ".join(toks)))}
+        else:
+            expected = {
+                H.prefix_hash64(H.codepoints(" ".join(toks[i : i + n])))
+                for i in range(len(toks) - n + 1)
+            }
+        assert got == expected, (trial, text, n)

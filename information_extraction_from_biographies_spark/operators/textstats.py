@@ -144,3 +144,75 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> Da
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
     return docs.select("doc_id", text_col).mapInPandas(_fp, schema="doc_id long, fingerprint long")
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", top_ngrams: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition-removal half of
+    its quality rules; the ratio half is :func:`quality_score`):
+
+    - ``dup_line_frac``       — duplicate lines / lines
+    - ``dup_line_char_frac``  — chars inside duplicate lines / chars
+    - ``top{n}gram_char_frac`` — chars covered by the single most
+      frequent word n-gram, per n in ``top_ngrams``
+
+    One Arrow-batched kernel pass per document (line/word splitting and
+    n-gram counting are per-doc, order-sensitive work with no built-in
+    vectorized equivalent — same judgement as :func:`fingerprint`; the
+    counting is pandas ``value_counts``, not per-char loops).
+    Downstream filtering composes as plain predicates, e.g. Gopher drops
+    ``dup_line_frac > 0.30`` or ``top2gram_char_frac > 0.20``."""
+    gram_cols = [f"top{n}gram_char_frac" for n in top_ngrams]
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "dup_line_frac": [],
+                "dup_line_char_frac": [],
+                **{c: [] for c in gram_cols},
+            }
+            for text in pdf[text_col]:
+                text = "" if text is None else str(text)
+                lines = [ln for ln in (s.strip() for s in text.split("\n")) if ln]
+                if lines:
+                    s = pd.Series(lines)
+                    counts = s.value_counts()
+                    dup_mask = s.map(counts) > 1
+                    n_chars = sum(len(ln) for ln in lines)
+                    out["dup_line_frac"].append(float(dup_mask.sum()) / len(lines))
+                    out["dup_line_char_frac"].append(
+                        float(sum(len(ln) for ln, d in zip(lines, dup_mask) if d))
+                        / max(n_chars, 1)
+                    )
+                else:
+                    out["dup_line_frac"].append(0.0)
+                    out["dup_line_char_frac"].append(0.0)
+                words = text.split()
+                total_wchars = sum(len(w) for w in words)
+                for n, col in zip(top_ngrams, gram_cols):
+                    if len(words) < n or total_wchars == 0:
+                        out[col].append(0.0)
+                        continue
+                    grams = pd.Series(
+                        [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+                    )
+                    counts = grams.value_counts()
+                    cmax = int(counts.iloc[0])
+                    # chars covered = occurrences x word-chars of the gram;
+                    # ties on count resolve to the LONGEST gram, so the
+                    # metric is deterministic (value_counts tie order isn't)
+                    gchars = max(
+                        len(g) for g in counts.index[counts.values == cmax]
+                    ) - (n - 1)  # strip joining spaces
+                    out[col].append(
+                        min(float(cmax * gchars) / total_wchars, 1.0)
+                    )
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, dup_line_frac double, dup_line_char_frac double, " + ", ".join(
+        f"{c} double" for c in gram_cols
+    )
+    return docs.select("doc_id", text_col).mapInPandas(_stats, schema=schema)

@@ -243,3 +243,88 @@ def test_simhash_band_blocking_exact_at_radius(spark):
         for r in dedup.simhash_near_pairs(sim, max_hamming=6, cap=None, combo=True).collect()
     }
     assert got_combo <= got
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from information_extraction_from_biographies_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" twice -> 2/4 dup lines; 14/26 dup chars
+            (1, "dup dup\nunique line one\ndup dup\nunique2"),
+            # heavy bigram repetition: "ha ha" dominates
+            (2, "ha ha ha ha ha ha ha ha"),
+            # clean prose
+            (3, "all lines differ\nand no ngram repeats here at all"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    assert out[1]["dup_line_frac"] == pytest.approx(2 / 4)
+    n_chars = len("dup dup") * 2 + len("unique line one") + len("unique2")
+    assert out[1]["dup_line_char_frac"] == pytest.approx(14 / n_chars)
+
+    # "ha"x8: top bigram "ha ha" occurs 7x overlapping, covers all chars (capped)
+    assert out[2]["top2gram_char_frac"] == 1.0
+    assert out[2]["dup_line_frac"] == 0.0  # single line, no duplicate
+
+    assert out[3]["dup_line_frac"] == 0.0
+    # every 2-gram unique -> one occurrence of the top gram
+    words = "all lines differ and no ngram repeats here at all".split()
+    top2 = max(len(a) + len(b) for a, b in zip(words, words[1:]))
+    total = sum(len(w) for w in words)
+    assert out[3]["top2gram_char_frac"] == pytest.approx(top2 / total)
+
+    for d in (4, 5):
+        for c in ("dup_line_frac", "dup_line_char_frac", "top2gram_char_frac",
+                  "top3gram_char_frac", "top4gram_char_frac"):
+            assert out[d][c] == 0.0
+
+
+def test_repetition_stats_python_oracle(spark):
+    """Randomized parity vs an independent per-doc recomputation."""
+    import random
+
+    from information_extraction_from_biographies_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "ccc", "dd", "e"]
+    rows = []
+    for i in range(40):
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 5))
+        ]
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs, top_ngrams=(2,)).collect()}
+
+    from collections import Counter
+
+    for i, text in rows:
+        lines = [ln for ln in (s.strip() for s in text.split("\n")) if ln]
+        if lines:
+            c = Counter(lines)
+            dup = [ln for ln in lines if c[ln] > 1]
+            exp_dlf = len(dup) / len(lines)
+            exp_dlcf = sum(map(len, dup)) / max(sum(map(len, lines)), 1)
+        else:
+            exp_dlf = exp_dlcf = 0.0
+        assert got[i]["dup_line_frac"] == pytest.approx(exp_dlf), i
+        assert got[i]["dup_line_char_frac"] == pytest.approx(exp_dlcf), i
+        words = text.split()
+        if len(words) < 2:
+            exp_top = 0.0
+        else:
+            g = Counter(" ".join(words[j : j + 2]) for j in range(len(words) - 1))
+            cnt = max(g.values())
+            glen = max(len(t) for t, c in g.items() if c == cnt)
+            exp_top = min(cnt * (glen - 1) / sum(map(len, words)), 1.0)
+        assert got[i]["top2gram_char_frac"] == pytest.approx(exp_top), i

@@ -418,3 +418,93 @@ def decontaminate(
             "contaminated"
         ),
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    contamination: DataFrame | None = None,
+    budget: int = 2048,
+    quotas: dict[str, int] | int | None = None,
+    stratum_col: str = "source",
+    n_gram: int = 13,
+    dedup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    audit: bool = True,
+) -> tuple[DataFrame, dict]:
+    """The composed corpus→training-export path: PII scrub →
+    decontaminate (when a contamination set is given) → MinHash
+    cluster-level near-dup removal (keep one doc per cluster) →
+    stratified quota (when quotas are given) → token-budget sequence
+    packing. Returns ``(packed, audit_dict)``.
+
+    Each stage is the already-tested operator — this function only fixes
+    the order (scrub BEFORE hashing, so a doc differing only in its PII
+    spans dedups against its scrubbed twin; decontaminate BEFORE dedup,
+    so a contaminated cluster keeper can't smuggle its duplicates
+    through) and wires the id plumbing between them. Lazy end to end:
+    with ``audit=False`` nothing executes until the caller writes the
+    result (the audit's per-stage counts each force a job — pay for the
+    report only when asked).
+
+    The packed output joins back to the curated docs on ``id_col``, so
+    the final materialization is `packed ⋈ curated` at the caller's
+    chosen sink."""
+    from .dedup import minhash_dedup_clusters, minhash_profiles
+    from .textstats import token_count
+
+    report: dict = {}
+    if audit:
+        report["input_docs"] = docs.count()
+
+    scrubbed = scrub_pii(docs, text_col=text_col)
+    scrub_counts = [f"n_{kind}" for kind in PII_PATTERNS]
+    if audit:
+        agg = scrubbed.agg(
+            *[F.sum(c).alias(c) for c in scrub_counts]
+        ).collect()[0]
+        report["pii_matches"] = {c: int(agg[c] or 0) for c in scrub_counts}
+    scrubbed = scrubbed.drop(*scrub_counts)
+
+    if contamination is not None:
+        clean = decontaminate(
+            scrubbed, contamination, n=n_gram, text_col=text_col, id_col=id_col
+        )
+        if audit:
+            report["after_decontaminate"] = clean.count()
+    else:
+        clean = scrubbed
+
+    # minhash profiles contract a LONG doc id; arbitrary ids ride a
+    # 64-bit surrogate (keeper = lowest surrogate in the cluster —
+    # deterministic, collision odds ~2^-64 per pair)
+    with_sid = clean.withColumn("_sid", F.xxhash64(F.col(id_col).cast("string")))
+    profiles = minhash_profiles(
+        with_sid.select(F.col("_sid").alias("doc_id"), text_col), text_col=text_col
+    )
+    clusters = minhash_dedup_clusters(profiles, threshold=dedup_threshold)
+    drop_ids = clusters.filter(~F.col("is_keeper")).select(
+        F.col("doc_id").alias("_dup_sid")
+    )
+    deduped = with_sid.join(
+        drop_ids, with_sid["_sid"] == drop_ids["_dup_sid"], "left_anti"
+    ).drop("_sid")
+    if audit:
+        report["after_dedup"] = deduped.count()
+
+    if quotas is not None:
+        sampled = stratified_quota(deduped, stratum_col, quotas, key=id_col)
+        if audit:
+            report["after_quota"] = sampled.count()
+    else:
+        sampled = deduped
+
+    toks = token_count(sampled.select(F.col(id_col).alias("doc_id"), text_col))
+    packed = pack_sequences(
+        toks.select("doc_id", F.col("ws_tokens").alias("n_tokens")),
+        budget=budget,
+        id_col="doc_id",
+    )
+    if audit:
+        report["packs"] = packed.select("pack_id").distinct().count()
+    return packed, report

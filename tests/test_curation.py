@@ -349,3 +349,46 @@ def test_ngram_kernel_matches_prefix_hash_family():
                 for i in range(len(toks) - n + 1)
             }
         assert got == expected, (trial, text, n)
+
+
+def test_curate_corpus_end_to_end(spark):
+    from information_extraction_from_biographies_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    lorem = (
+        "the quick brown fox jumps over the lazy dog while the river "
+        "runs past the old stone mill and the miller watches quietly"
+    )
+    eval_span = "this exact benchmark passage must never appear in training data at all"
+    rows = []
+    # 3 identical near-dup copies (one keeper survives)
+    for i in range(3):
+        rows.append((f"dup{i}", "web", lorem + " tail" + "x" * i))
+    # a contaminated doc
+    rows.append(("cont", "web", lorem[:40] + " " + eval_span + " trailing words"))
+    # clean docs with PII, two sources
+    rows.append(("pii", "web", "contact me at a.b@example.com about " + lorem[::-1]))
+    rows.append(("clean_books", "books", " ".join(f"tok{j}" for j in range(60))))
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    cont = spark.createDataFrame([("e1", eval_span)], "item_id string, text string")
+
+    packed, audit = curate_corpus(
+        docs, contamination=cont, budget=64, quotas=10, n_gram=6
+    )
+    out = packed.collect()
+    kept_ids = {r["doc_id"] for r in out}
+
+    assert audit["input_docs"] == 6
+    assert audit["pii_matches"]["n_email"] == 1
+    assert audit["after_decontaminate"] == 5          # cont dropped
+    assert audit["after_dedup"] == 3                  # dup1/dup2 dropped
+    assert "cont" not in kept_ids
+    # exactly one of the near-dup triplet survives (keeper = lowest
+    # 64-bit surrogate — deterministic but not alphabetical)
+    assert len(kept_ids & {"dup0", "dup1", "dup2"}) == 1
+    assert {"pii", "clean_books"} <= kept_ids
+    # packing respects the budget and covers every curated doc
+    assert audit["packs"] >= 1
+    assert all(r["pack_tokens"] <= 64 or r["n_tokens"] > 64 for r in out)
+    assert len(out) == 3

@@ -388,10 +388,10 @@ def decontaminate(
     ``mode="flag"`` returns all docs + ``n_contaminated_grams`` (0 for
     clean docs) + boolean ``contaminated`` for audit before the drop.
 
-    Collisions: two different grams sharing a poly-hash value could
-    over-flag a doc one time per ~2^31 gram pairs (birthday bound) —
-    immaterial against the removal-by-overlap objective (false positives
-    remove a training doc, never leak an eval item)."""
+    Collisions: the 62-bit dual-base gram hash over-flags a doc about
+    once per 2^62 corpus-gram x blocklist-gram pairs — negligible at any
+    real scale, and biased the safe way (a false positive removes a
+    training doc, never leaks an eval item)."""
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     cont_text_col = cont_text_col or text_col

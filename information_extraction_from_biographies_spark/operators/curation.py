@@ -385,8 +385,10 @@ def decontaminate(
     makes them huge (plain hash join).
 
     ``mode="drop"`` returns the clean corpus unchanged in schema;
-    ``mode="flag"`` returns all docs + ``n_contaminated_grams`` (0 for
-    clean docs) + boolean ``contaminated`` for audit before the drop.
+    ``mode="flag"`` returns all docs + ``n_contaminated_grams`` (the RAW
+    overlap count, 0 for clean docs, NOT thresholded — the audit view
+    must show the borderline docs) + boolean ``contaminated``
+    (``count >= min_hits``, the docs drop mode would remove).
 
     Collisions: the 62-bit dual-base gram hash over-flags a doc about
     once per 2^62 corpus-gram x blocklist-gram pairs — negligible at any
@@ -394,6 +396,13 @@ def decontaminate(
     training doc, never leaks an eval item)."""
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if mode == "flag":
+        clash = {"n_contaminated_grams", "contaminated"} & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"flag mode adds columns {sorted(clash)} that already exist "
+                "in docs — rename or drop them first"
+            )
     cont_text_col = cont_text_col or text_col
     blocklist = ngram_hash_rows(contamination, cont_text_col, n).distinct()
     hits = (
@@ -401,20 +410,23 @@ def decontaminate(
         .join(F.broadcast(blocklist), "gram", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_grams"))
-        .filter(F.col("n_contaminated_grams") >= min_hits)
         .withColumnRenamed(id_col, "_decon_id")
     )
     # the kernel emits string ids; join on the string-cast key so an
     # integer id_col in docs still matches exactly (no numeric coercion)
-    key = docs[id_col].cast("string") == hits["_decon_id"]
     if mode == "drop":
-        return docs.join(hits, key, "left_anti")
-    return docs.join(hits, key, "left").select(
+        doomed = hits.filter(F.col("n_contaminated_grams") >= min_hits)
+        return docs.join(
+            doomed, docs[id_col].cast("string") == doomed["_decon_id"], "left_anti"
+        )
+    return docs.join(
+        hits, docs[id_col].cast("string") == hits["_decon_id"], "left"
+    ).select(
         docs["*"],
-        F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).alias(
+        F.coalesce(hits["n_contaminated_grams"], F.lit(0)).alias(
             "n_contaminated_grams"
         ),
-        (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) >= min_hits).alias(
+        (F.coalesce(hits["n_contaminated_grams"], F.lit(0)) >= min_hits).alias(
             "contaminated"
         ),
     )
@@ -431,26 +443,31 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     audit: bool = True,
-) -> tuple[DataFrame, dict]:
+) -> tuple[DataFrame, DataFrame, dict]:
     """The composed corpus→training-export path: PII scrub →
-    decontaminate (when a contamination set is given) → MinHash
-    cluster-level near-dup removal (keep one doc per cluster) →
+    decontaminate (when a contamination set is given) → exact dedup →
+    MinHash cluster-level near-dup removal (keep one doc per cluster) →
     stratified quota (when quotas are given) → token-budget sequence
-    packing. Returns ``(packed, audit_dict)``.
+    packing. Returns ``(curated, packed, audit_dict)``: ``curated`` is
+    the surviving docs WITH the scrubbed text (exporting the original
+    ``docs`` would re-introduce the PII the scrub removed), ``packed``
+    assigns each curated doc a training-sequence ``pack_id`` — the final
+    materialization is ``curated ⋈ packed`` on ``id_col`` at the
+    caller's chosen sink.
 
     Each stage is the already-tested operator — this function only fixes
     the order (scrub BEFORE hashing, so a doc differing only in its PII
     spans dedups against its scrubbed twin; decontaminate BEFORE dedup,
     so a contaminated cluster keeper can't smuggle its duplicates
-    through) and wires the id plumbing between them. Lazy end to end:
-    with ``audit=False`` nothing executes until the caller writes the
-    result (the audit's per-stage counts each force a job — pay for the
-    report only when asked).
-
-    The packed output joins back to the curated docs on ``id_col``, so
-    the final materialization is `packed ⋈ curated` at the caller's
-    chosen sink."""
-    from .dedup import minhash_dedup_clusters, minhash_profiles
+    through; exact dedup BEFORE MinHash, because docs shorter than the
+    5-char shingle width have no profile and would skip near-dup
+    clustering entirely) and wires the id plumbing between them. With
+    ``audit=False`` nothing executes until the caller writes the result;
+    ``audit=True`` persists the two expensive intermediates, takes the
+    per-stage counts against the caches, and unpersists before
+    returning (the caller's write recomputes the final plan once — the
+    same cost as ``audit=False``, plus one cached counting pass)."""
+    from .dedup import exact_dedup, minhash_dedup_clusters, minhash_profiles
     from .textstats import token_count
 
     report: dict = {}
@@ -470,15 +487,27 @@ def curate_corpus(
         clean = decontaminate(
             scrubbed, contamination, n=n_gram, text_col=text_col, id_col=id_col
         )
-        if audit:
-            report["after_decontaminate"] = clean.count()
     else:
         clean = scrubbed
+    if audit:
+        clean = clean.persist()
+        if contamination is not None:
+            report["after_decontaminate"] = clean.count()
+
+    # exact duplicates first (md5 groupBy) — also catches docs shorter
+    # than the MinHash shingle width, which have no near-dup profile
+    keepers = exact_dedup(clean, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias("_keep_id")
+    )
+    uniq = clean.join(
+        keepers, clean[id_col].cast("string") == keepers["_keep_id"].cast("string"),
+        "left_semi",
+    )
 
     # minhash profiles contract a LONG doc id; arbitrary ids ride a
     # 64-bit surrogate (keeper = lowest surrogate in the cluster —
     # deterministic, collision odds ~2^-64 per pair)
-    with_sid = clean.withColumn("_sid", F.xxhash64(F.col(id_col).cast("string")))
+    with_sid = uniq.withColumn("_sid", F.xxhash64(F.col(id_col).cast("string")))
     profiles = minhash_profiles(
         with_sid.select(F.col("_sid").alias("doc_id"), text_col), text_col=text_col
     )
@@ -490,7 +519,9 @@ def curate_corpus(
         drop_ids, with_sid["_sid"] == drop_ids["_dup_sid"], "left_anti"
     ).drop("_sid")
     if audit:
+        deduped = deduped.persist()
         report["after_dedup"] = deduped.count()
+        clean.unpersist()
 
     if quotas is not None:
         sampled = stratified_quota(deduped, stratum_col, quotas, key=id_col)
@@ -499,7 +530,9 @@ def curate_corpus(
     else:
         sampled = deduped
 
-    toks = token_count(sampled.select(F.col(id_col).alias("doc_id"), text_col))
+    toks = token_count(
+        sampled.select(F.col(id_col).alias("doc_id"), text_col), text_col=text_col
+    )
     packed = pack_sequences(
         toks.select("doc_id", F.col("ws_tokens").alias("n_tokens")),
         budget=budget,
@@ -507,4 +540,5 @@ def curate_corpus(
     )
     if audit:
         report["packs"] = packed.select("pack_id").distinct().count()
-    return packed, report
+        deduped.unpersist()
+    return sampled, packed, report

@@ -99,6 +99,11 @@ def minhash_profiles(
                 ids.append(did)
                 sigs.append(sig)
                 shs.append(hs.tolist())
+            if not ids:
+                # a batch of only sub-shingle docs: an all-empty frame's
+                # [] columns materialize as numeric dtype, which Arrow
+                # cannot convert to the array<long> schema — emit nothing
+                continue
             yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shingles": shs})
 
     return docs.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(

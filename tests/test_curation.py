@@ -197,7 +197,8 @@ def test_pack_sequences_closes_full_bins_linear(spark):
 def _norm_tokens(text: str) -> list[str]:
     import re as _re
 
-    return [t for t in _re.sub(r"[^\w]+", " ", text.lower()).split() if t]
+    # [\W_]+ matches the kernel: underscore is a separator, not a word char
+    return [t for t in _re.sub(r"[\W_]+", " ", text.lower()).split() if t]
 
 
 def _grams(text: str, n: int) -> set[tuple[str, ...]]:
@@ -276,6 +277,22 @@ def test_decontaminate_min_hits_thresholds(spark, decon_data):
     assert kept == {i for i, _ in docs} - set(exp2)
     # d1 embeds a 15-token span -> 10 distinct 6-grams; survives only huge thresholds
     assert "d1" not in kept and exp2["d1"] == 10
+    # flag mode reports RAW counts below the threshold (the audit view):
+    # at min_hits=11, d1's 10 hits keep it un-contaminated but visible
+    exp1 = _expected_contaminated(docs, eval_items, n, 1)
+    flagged = {
+        r["doc_id"]: (r["contaminated"], r["n_contaminated_grams"])
+        for r in decontaminate(corpus, cont, n=n, min_hits=11, mode="flag").collect()
+    }
+    for i, _t in docs:
+        assert flagged[i][1] == exp1.get(i, 0)
+        assert flagged[i][0] == (exp1.get(i, 0) >= 11)
+    assert flagged["d1"] == (False, 10)
+    # flag mode refuses docs already carrying its output columns
+    with pytest.raises(ValueError, match="contaminated"):
+        decontaminate(
+            decontaminate(corpus, cont, n=n, mode="flag"), cont, n=n, mode="flag"
+        )
 
 
 def test_decontaminate_short_eval_item_full_sequence_gram(spark):
@@ -373,7 +390,7 @@ def test_curate_corpus_end_to_end(spark):
     docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
     cont = spark.createDataFrame([("e1", eval_span)], "item_id string, text string")
 
-    packed, audit = curate_corpus(
+    curated, packed, audit = curate_corpus(
         docs, contamination=cont, budget=64, quotas=10, n_gram=6
     )
     out = packed.collect()
@@ -392,3 +409,26 @@ def test_curate_corpus_end_to_end(spark):
     assert audit["packs"] >= 1
     assert all(r["pack_tokens"] <= 64 or r["n_tokens"] > 64 for r in out)
     assert len(out) == 3
+    # the curated table carries the SCRUBBED text (exporting the raw
+    # input would re-introduce the PII the audit counted as removed)
+    cur = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert set(cur) == kept_ids
+    assert "<PII:email>" in cur["pii"] and "@" not in cur["pii"]
+
+
+def test_curate_corpus_short_and_custom_text_col(spark):
+    """Docs shorter than the MinHash shingle width still exact-dedup, and
+    a non-default text column threads through every stage."""
+    from information_extraction_from_biographies_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    rows = [(f"s{i}", "web", "hi") for i in range(5)]          # 2-char dups
+    rows += [("u1", "web", "completely different content here")]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, content string")
+    curated, packed, audit = curate_corpus(docs, budget=32, text_col="content")
+    kept = {r["doc_id"] for r in packed.collect()}
+    assert audit["after_dedup"] == 2                  # 5 "hi" docs -> 1
+    assert len(kept & {f"s{i}" for i in range(5)}) == 1
+    assert "u1" in kept
+    assert {r["doc_id"] for r in curated.collect()} == kept

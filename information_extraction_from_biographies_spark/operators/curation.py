@@ -357,6 +357,21 @@ def ngram_hash_rows(
     return sel.mapInPandas(_rows, schema=schema)
 
 
+def _gram_hits(
+    docs: DataFrame, blocklist: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id_col, n_contaminated_grams): per-doc count of DISTINCT gram
+    hashes overlapping ``blocklist`` (a ``gram long`` table). The one
+    linear corpus pass both batch and incremental decontamination share:
+    gram rows → broadcast semijoin → hash aggregate."""
+    return (
+        ngram_hash_rows(docs, text_col, n, id_col=id_col)
+        .join(F.broadcast(blocklist), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     contamination: DataFrame,
@@ -405,12 +420,8 @@ def decontaminate(
             )
     cont_text_col = cont_text_col or text_col
     blocklist = ngram_hash_rows(contamination, cont_text_col, n).distinct()
-    hits = (
-        ngram_hash_rows(docs, text_col, n, id_col=id_col)
-        .join(F.broadcast(blocklist), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_grams"))
-        .withColumnRenamed(id_col, "_decon_id")
+    hits = _gram_hits(docs, blocklist, n, text_col, id_col).withColumnRenamed(
+        id_col, "_decon_id"
     )
     # the kernel emits string ids; join on the string-cast key so an
     # integer id_col in docs still matches exactly (no numeric coercion)
@@ -542,3 +553,92 @@ def curate_corpus(
         report["packs"] = packed.select("pack_id").distinct().count()
         deduped.unpersist()
     return sampled, packed, report
+
+
+def incremental_decontaminate(
+    new_docs: DataFrame,
+    base_blockgrams: DataFrame | None,
+    new_contamination: DataFrame | None = None,
+    history_docs: DataFrame | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cont_text_col: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Decontamination as maintained state (the posture of
+    plans/incremental.py and dedup_incremental.py): the persisted state
+    is ``base_blockgrams`` — one ``gram long`` row per distinct n-gram
+    hash of every eval item ever registered — and each ingestion batch
+    touches O(delta), never re-gramming history.
+
+    → ``(clean_new, blockgram_delta, hit_history)``:
+
+    - ``clean_new`` — ``new_docs`` minus those overlapping the FULL
+      blocklist (base ∪ the new eval items' grams) by ≥ ``min_hits``
+      distinct grams: one linear pass over the DELTA docs against a
+      broadcast blocklist (eval-suite-sized by contract).
+    - ``blockgram_delta`` — the new eval items' grams not already in the
+      store: append to the blockgram table. Empty when
+      ``new_contamination`` is None.
+    - ``hit_history`` — only when BOTH ``new_contamination`` and
+      ``history_docs`` are given: (id_col, n_contaminated_grams) for
+      historical docs NEWLY reaching the threshold — total overlap
+      (vs the full blocklist) ≥ min_hits AND ≥ 1 hit on a NEW gram, so
+      docs already condemned by old grams are not re-reported. This is
+      the one unavoidable O(history) read when the eval suite grows (the
+      ``rescan="exact"`` stance): history streams ONCE against a
+      broadcast of the flagged blocklist, nothing shuffles but the
+      per-doc counts. None when there is nothing to rescan.
+
+    Callers tombstone ``hit_history`` ids and append ``blockgram_delta``
+    to the store; ``clean_new`` appends to the corpus. Parity with batch
+    :func:`decontaminate` over the union is pinned by tests."""
+    spark = new_docs.sparkSession
+    cont_text_col = cont_text_col or text_col
+    if base_blockgrams is None:
+        base_blockgrams = spark.createDataFrame([], "gram long")
+    if new_contamination is not None:
+        blockgram_delta = (
+            ngram_hash_rows(new_contamination, cont_text_col, n)
+            .distinct()
+            .join(base_blockgrams, "gram", "left_anti")
+        )
+    else:
+        blockgram_delta = spark.createDataFrame([], "gram long")
+
+    full = base_blockgrams.unionByName(blockgram_delta)
+    doomed = _gram_hits(new_docs, full, n, text_col, id_col).filter(
+        F.col("n_contaminated_grams") >= min_hits
+    ).withColumnRenamed(id_col, "_decon_id")
+    clean_new = new_docs.join(
+        doomed, new_docs[id_col].cast("string") == doomed["_decon_id"], "left_anti"
+    )
+
+    hit_history = None
+    if new_contamination is not None and history_docs is not None:
+        flagged = base_blockgrams.withColumn(
+            "is_new", F.lit(False)
+        ).unionByName(blockgram_delta.withColumn("is_new", F.lit(True)))
+        hits_str = (
+            ngram_hash_rows(history_docs, text_col, n, id_col=id_col)
+            .join(F.broadcast(flagged), "gram")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_contaminated_grams"),
+                F.sum(F.col("is_new").cast("int")).alias("_n_new"),
+            )
+            .filter(
+                (F.col("n_contaminated_grams") >= min_hits) & (F.col("_n_new") >= 1)
+            )
+            .withColumnRenamed(id_col, "_hit_id")
+        )
+        # the gram kernel casts ids to string; hand back the caller's
+        # ORIGINAL id column and type (a string '10' silently failing to
+        # match a long 10 in the caller's tombstone set is exactly the
+        # bug this join prevents)
+        hit_history = history_docs.join(
+            F.broadcast(hits_str),
+            history_docs[id_col].cast("string") == hits_str["_hit_id"],
+        ).select(history_docs[id_col], hits_str["n_contaminated_grams"])
+    return clean_new, blockgram_delta, hit_history

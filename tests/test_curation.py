@@ -432,3 +432,108 @@ def test_curate_corpus_short_and_custom_text_col(spark):
     assert len(kept & {f"s{i}" for i in range(5)}) == 1
     assert "u1" in kept
     assert {r["doc_id"] for r in curated.collect()} == kept
+
+
+def test_incremental_decontaminate_matches_batch(spark, decon_data):
+    """Two increments (docs batch 1 + eval set 1, then docs batch 2 +
+    eval set 2 with a history rescan) must keep exactly the doc set the
+    batch operator keeps over the unions."""
+    from information_extraction_from_biographies_spark.operators.curation import (
+        decontaminate,
+        incremental_decontaminate,
+    )
+
+    eval_items, docs = decon_data
+    n = 6
+    cont1 = spark.createDataFrame([eval_items[0]], "item_id string, text string")
+    cont2 = spark.createDataFrame([eval_items[1]], "item_id string, text string")
+    batch1 = spark.createDataFrame(docs[:3], "doc_id string, text string")  # d1-d3
+    batch2 = spark.createDataFrame(docs[3:], "doc_id string, text string")  # d4-d5
+
+    # increment 1: empty store, eval set 1, no history
+    clean1, delta1, hist1 = incremental_decontaminate(
+        batch1, None, new_contamination=cont1, n=n
+    )
+    assert hist1 is None
+    store = delta1
+    kept1 = {r["doc_id"] for r in clean1.collect()}
+    assert kept1 == {"d2", "d3"}  # d1 overlaps eval 1; d3's eval arrives later
+
+    # increment 2: eval set 2 arrives with batch 2 — history (the kept
+    # batch-1 docs) must be rescanned against ONLY the new grams
+    clean2, delta2, hist2 = incremental_decontaminate(
+        batch2, store, new_contamination=cont2, history_docs=clean1, n=n
+    )
+    store = store.unionByName(delta2)
+    kept2 = {r["doc_id"] for r in clean2.collect()}
+    newly_hit = {r["doc_id"] for r in hist2.collect()}
+    assert newly_hit == {"d3"}  # retroactively contaminated by eval 2
+
+    survivors = (kept1 - newly_hit) | kept2
+    cont_all = cont1.unionByName(cont2)
+    docs_all = batch1.unionByName(batch2)
+    batch_kept = {r["doc_id"] for r in decontaminate(docs_all, cont_all, n=n).collect()}
+    assert survivors == batch_kept
+
+    # increment 3: new docs against the accumulated store, no new eval —
+    # no blockgram delta, no rescan
+    d6 = spark.createDataFrame(
+        [("d6", docs[0][1]), ("d7", "fresh words only never seen anywhere")],
+        "doc_id string, text string",
+    )
+    clean3, delta3, hist3 = incremental_decontaminate(d6, store, n=n)
+    assert delta3.count() == 0 and hist3 is None
+    assert {r["doc_id"] for r in clean3.collect()} == {"d7"}
+
+
+def test_incremental_decontaminate_min_hits_counts_full_blocklist(spark):
+    """A historical doc whose overlap reaches min_hits only when OLD and
+    NEW grams are combined must be reported on the rescan."""
+    from information_extraction_from_biographies_spark.operators.curation import (
+        incremental_decontaminate,
+    )
+
+    n = 3
+    old_eval = spark.createDataFrame(
+        [("e1", "alpha beta gamma")], "item_id string, text string"
+    )
+    new_eval = spark.createDataFrame(
+        [("e2", "delta epsilon zeta")], "item_id string, text string"
+    )
+    # one old-gram hit + one new-gram hit = 2 >= min_hits only combined
+    hist = spark.createDataFrame(
+        [("h1", "alpha beta gamma filler delta epsilon zeta"),
+         ("h2", "alpha beta gamma alone with words")],
+        "doc_id string, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    _c, store, _h = incremental_decontaminate(empty, None, new_contamination=old_eval, n=n)
+    _c2, _d2, hit = incremental_decontaminate(
+        empty, store, new_contamination=new_eval, history_docs=hist, n=n, min_hits=2
+    )
+    got = {r["doc_id"]: r["n_contaminated_grams"] for r in hit.collect()}
+    # h1 reaches 2 with one new-gram hit -> reported; h2 has no new hit
+    assert got == {"h1": 2}
+
+
+def test_incremental_decontaminate_returns_original_id_type(spark):
+    """hit_history must carry the CALLER's id column type (the gram
+    kernel works on string-cast ids; leaking those out makes a long-id
+    tombstone set silently match nothing)."""
+    from information_extraction_from_biographies_spark.operators.curation import (
+        incremental_decontaminate,
+    )
+
+    hist = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    new_eval = spark.createDataFrame(
+        [("e", "alpha beta gamma")], "item_id string, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    _c, _d, hit = incremental_decontaminate(
+        empty, None, new_contamination=new_eval, history_docs=hist, n=3
+    )
+    assert dict(hit.dtypes)["doc_id"] == "bigint"
+    assert {r["doc_id"] for r in hit.collect()} == {10}

@@ -147,3 +147,30 @@ def test_band_bounds_pigeonhole_exact(bands, base, flip_bits):
             for off, w in bounds
         )
         assert shares
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, st.integers(min_value=2, max_value=8))
+def test_ngram_kernel_equals_prefix_hash64_on_arbitrary_text(text, n):
+    """The decontamination kernel's prefix-sum substring algebra must
+    equal hashing.prefix_hash64 of each gram's text for ANY unicode
+    input — the invariant its SQL-mirrorability rests on."""
+    import re
+
+    from information_extraction_from_biographies_spark.operators.curation import (
+        PowTable,
+        _ngram_poly_hashes,
+    )
+
+    got = set(_ngram_poly_hashes(text, n, PowTable()).tolist())
+    toks = [t for t in re.sub(r"[\W_]+", " ", text.lower()).split() if t]
+    if not toks:
+        expected = set()
+    elif len(toks) < n:
+        expected = {H.prefix_hash64(H.codepoints(" ".join(toks)))}
+    else:
+        expected = {
+            H.prefix_hash64(H.codepoints(" ".join(toks[i : i + n])))
+            for i in range(len(toks) - n + 1)
+        }
+    assert got == expected

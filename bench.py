@@ -1,10 +1,16 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``. The LAST stdout
+line is the compact driver-parseable headline::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-trial detail (steal-discard logs, vs-prev ratios, incremental record)
+is printed on a separate earlier line and written to
+``BENCH/trials_latest.json`` — round 3 embedded it in the headline line,
+which outgrew the driver's tail capture and left the round unrecorded
+(BENCH_r03 parsed:null).
 
 The flagship measurement is the full 4-stage KG pipeline over a scaled
 deterministic transcript table (generated distributed via mapInPandas —
@@ -367,7 +373,11 @@ def main() -> None:
             before = _cpu_stat()
             t0 = time.monotonic()
             df = qdict[name](spark, sf_dir)
-            df.count()
+            # noop sink, not count(): count() lets Catalyst prune the
+            # projected columns of scan+project queries (text_quality etc.
+            # would time an empty aggregate, not their compute) — round-3
+            # verdict item #4; the noop sink materializes every column.
+            df.write.format("noop").mode("overwrite").save()
             w = time.monotonic() - t0
             steal = _steal_pct(before, _cpu_stat())
             trials.append(
@@ -401,6 +411,35 @@ def main() -> None:
         incr["steal_pct"] = _steal_pct(before, _cpu_stat())
 
     total = round(sum(queries.values()), 3)
+    # Trial-level detail (per-trial walls + steal, vs_prev ratios, full
+    # incremental record) goes to a SEPARATE earlier stdout line and a file
+    # under BENCH/ — round 3's headline line embedded it all and outgrew
+    # the driver's tail capture (BENCH_r03 parsed:null). The LAST stdout
+    # line is the compact driver-parseable headline and nothing else.
+    detail = {
+        "detail": "bench_trials",
+        "vs_prev": _vs_prev(queries, sf),
+        "steal_policy": {
+            "max_steal_pct": max_steal,
+            "kg_steal_fallback": kg_steal_fallback,
+            "query_trials": query_steal,
+        },
+        "kg_trials": kg_trial_log,
+        "kg_incremental": incr,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "trials_latest.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still carries it
+    print(json.dumps(detail))
+    incr_compact = (
+        {k: incr[k] for k in ("base_wall", "delta_wall", "speedup", "delta_turns_per_sec")}
+        if incr
+        else None
+    )
     print(
         json.dumps(
             {
@@ -408,16 +447,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
-                "vs_prev": _vs_prev(queries, sf),
                 "sf": sf,
-                "steal_policy": {
-                    "max_steal_pct": max_steal,
-                    "kg_steal_fallback": kg_steal_fallback,
-                    "query_trials": query_steal,
-                },
                 "kg": {
                     "n_convs": n_convs,
-                    "trials": kg_trial_log,
                     "n_turns": n_turns,
                     "n_triples": n_triples,
                     "n_cooccurrence": n_cooc,
@@ -425,8 +457,9 @@ def main() -> None:
                     "triples_per_sec": round(triples_per_sec, 2),
                     "turns_per_sec": round(n_turns / wall, 2) if wall > 0 else 0.0,
                     "cores": cpus,
+                    "steal_fallback": kg_steal_fallback,
                 },
-                "kg_incremental": incr,
+                "kg_incremental": incr_compact,
             }
         )
     )

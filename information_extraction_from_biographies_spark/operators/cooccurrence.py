@@ -60,9 +60,15 @@ def pair_distances(occurrences: DataFrame) -> DataFrame:
 
 def biographee_priors(persons_in_conv: DataFrame, meta: DataFrame) -> DataFrame:
     """A4: constant distance-2 pair between every detected person and the
-    conversation's biographee (Cooccurrence.py:81-89)."""
+    conversation's biographee (Cooccurrence.py:81-89).
+
+    No broadcast hint: both sides are per-conversation (corpus-scale), so
+    a forced broadcast of meta is a driver OOM at 10^12 turns. The un-
+    hinted equi-join on conv_id lets AQE broadcast only when the runtime
+    size is actually under the threshold, and degrades to a co-partitioned
+    shuffle join otherwise."""
     joined = persons_in_conv.join(
-        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "inner"
+        meta.select("conv_id", "biographee"), "conv_id", "inner"
     ).filter(F.col("biographee").isNotNull())
     return joined.select(
         "conv_id",

@@ -49,7 +49,7 @@ def _make_extract_group(user_dict_index: dict | None):
 
 def extract_people_combined(
     turns: DataFrame,
-    meta: DataFrame,
+    meta: DataFrame | None = None,
     pre_sorted: bool = False,
     user_dict=None,
 ) -> DataFrame:
@@ -60,16 +60,17 @@ def extract_people_combined(
     ``user_dict``: iterable of known person names — the N1 dictionary-
     segmentation channel (jieba user dicts, NER.py:8-10). Indexed once on
     the driver and shipped in the UDF closure (dictionary scale is the
-    reference's: thousands of entries, well under broadcast concern)."""
+    reference's: thousands of entries, well under broadcast concern).
+
+    biographee travels with the group on the turn-0 row (threaded by
+    stage 0 — normalize.with_biographee): no turns↔meta join; ``meta`` is
+    only consulted on legacy inputs missing the column."""
     from ..functions.extraction import build_name_dict_index
 
+    from .normalize import with_biographee
+
     index = build_name_dict_index(user_dict) if user_dict else None
-    # biographee travels with the group: broadcast-join meta onto turns
-    # (meta is |convs| rows of a few strings — well under the threshold for
-    # dims derived per-conv; at extreme scale it is co-partitioned instead).
-    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
-        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
-    )
+    enriched = with_biographee(turns, meta)
     return grouped_map(
         enriched, _make_extract_group(index), _EXTRACT_SCHEMA, pre_sorted=pre_sorted
     )

@@ -59,15 +59,49 @@ def normalize_shared(
     the single turn-0 mapInPandas frame; callers that materialize turns
     AND meta (the pipeline) pass ``persist_enriched=True`` and unpersist
     the returned ``enriched0`` handle afterwards, so the extraction pass
-    runs once instead of once per output table."""
+    runs once instead of once per output table.
+
+    ``turns`` carries ``biographee`` on its turn-0 row (null elsewhere):
+    every downstream per-conversation stage groups on conv_id and sorts by
+    turn_idx anyway, so the biographee rides the group for free — no
+    turns↔meta join at all. (Before round 4 those stages broadcast-joined
+    ``meta``, a table that grows linearly with the corpus: a driver-side
+    collect of ~10^10 rows at the 10^12-turn posture. Threading the column
+    here removes the join instead of merely de-hinting it.)"""
     base = transcripts.select(*TURN_COLS)
     enriched0 = base.filter(F.col("turn_idx") == 0).mapInPandas(_enrich_turn0, schema=_ENRICHED_SCHEMA)
     if persist_enriched:
         enriched0 = enriched0.persist()
     meta = enriched0.select("conv_id", "biographee", "english_name", "birth", "death", "authors")
-    rest = base.filter(F.col("turn_idx") != 0).withColumn("norm_text", F.col("text"))
-    turns = enriched0.select(*TURN_COLS, "norm_text").unionByName(rest)
+    rest = (
+        base.filter(F.col("turn_idx") != 0)
+        .withColumn("norm_text", F.col("text"))
+        .withColumn("biographee", F.lit(None).cast("string"))
+    )
+    turns = enriched0.select(*TURN_COLS, "norm_text", "biographee").unionByName(rest)
     return turns, meta, enriched0
+
+
+def with_biographee(turns: DataFrame, meta: DataFrame | None) -> DataFrame:
+    """(conv_id, turn_idx, norm_text, biographee) for the per-conversation
+    grouped stages. When stage 0 threaded ``biographee`` onto turns (the
+    normal path) this is a pure projection — zero join, zero shuffle, and
+    it preserves any pre-shuffled/pre-sorted layout the caller staged.
+    Legacy inputs without the column fall back to a plain equi-join on
+    conv_id with NO broadcast hint: ``meta`` is one row per conversation
+    (corpus-scale), so a forced broadcast is a driver OOM at 10^12 turns;
+    an un-hinted join lets AQE broadcast only when the runtime size is
+    actually small."""
+    if "biographee" in turns.columns:
+        return turns.select("conv_id", "turn_idx", "norm_text", "biographee")
+    if meta is None:
+        raise ValueError(
+            "turns has no biographee column and no meta table was given — "
+            "run stage 0 (normalize) first or pass meta"
+        )
+    return turns.select("conv_id", "turn_idx", "norm_text").join(
+        meta.select("conv_id", "biographee"), "conv_id", "left"
+    )
 
 
 def group_footnotes(

@@ -43,10 +43,16 @@ _SCHEMA = (
 
 
 def fused_scan_extract(
-    turns: DataFrame, meta: DataFrame, index: SurfaceIndexHandle, pre_sorted: bool = False
+    turns: DataFrame,
+    meta: DataFrame | None,
+    index: SurfaceIndexHandle,
+    pre_sorted: bool = False,
 ) -> DataFrame:
     """→ tagged-union DataFrame; see module docstring. Persist this and
-    split with the accessors below."""
+    split with the accessors below.
+
+    biographee rides the turn-0 row (stage-0 threading) — no turns↔meta
+    join; ``meta`` is only the legacy fallback (normalize.with_biographee)."""
     getter = index.worker_getter()
 
     def _go(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -83,9 +89,9 @@ def fused_scan_extract(
             rows.append((conv_id, "timeline", None, event, None, None, None, year, start, None))
         return pd.DataFrame(rows, columns=_COLS)
 
-    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
-        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
-    )
+    from .normalize import with_biographee
+
+    enriched = with_biographee(turns, meta)
     return grouped_map(enriched, _go, _SCHEMA, pre_sorted=pre_sorted)
 
 

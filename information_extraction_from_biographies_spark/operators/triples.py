@@ -44,15 +44,17 @@ def kinship_triples(conv_aliases: DataFrame) -> DataFrame:
 def conv_person_surfaces(detected_persons: DataFrame, registry_surfaces_df: DataFrame) -> DataFrame:
     """(conv_id, person, surface): each person the mention scan detected in
     a conversation × every surface of that person (the reference's
-    get_all_names_of_people, Relationship.py:53-59) — a broadcast hash join
-    against the registry instead of a per-worker automaton rebuild. At
-    registry sizes past the broadcast threshold this becomes a plain
-    shuffle equi-join on person; the shape is unchanged."""
+    get_all_names_of_people, Relationship.py:53-59) — a hash join against
+    the registry instead of a per-worker automaton rebuild. No broadcast
+    hint: the registry is vocabulary-scale (every distinct person), so AQE
+    broadcasts it only while it actually fits and degrades to a plain
+    shuffle equi-join on person past the threshold; the shape is
+    unchanged."""
     # no distinct needed: detected_persons is unique per (conv_id, person)
     # by construction (repeatOK=False scan) and the registry surface table
     # is globally distinct — the join is already key-unique.
     surf = registry_surfaces_df.select("person", "surface")
-    return detected_persons.join(F.broadcast(surf), "person").select(
+    return detected_persons.join(surf, "person").select(
         "conv_id", "person", "surface"
     )
 
@@ -87,15 +89,17 @@ def verb_triples(turns: DataFrame, meta: DataFrame, person_surfaces_df: DataFram
     # Arrow materialize the struct array per row (|turns| × |pairs| python
     # dicts). Convs without turn 0 have no meta row either (normalize reads
     # the title from turn 0), so nothing is lost on the rest branch.
-    base = turns.select("conv_id", "turn_idx", "norm_text")
+    # biographee likewise rides the turn-0 row (stage-0 threading) — no
+    # corpus-scale meta join (normalize.with_biographee).
+    from .normalize import with_biographee
+
+    base = with_biographee(turns, meta)
     pairs_type = "array<struct<person:string,surface:string>>"
     turn0 = base.filter(F.col("turn_idx") == 0).join(per_conv, "conv_id", "left")
     rest = base.filter(F.col("turn_idx") != 0).withColumn(
         "pairs", F.lit(None).cast(pairs_type)
     )
-    enriched = turn0.unionByName(rest).join(
-        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
-    )
+    enriched = turn0.unionByName(rest)
     return grouped_map(enriched, _rel, _TRIPLE_SCHEMA)
 
 
@@ -114,9 +118,9 @@ def hometown_triples(turns: DataFrame, meta: DataFrame) -> DataFrame:
             [(conv_id, bio_vals[0], "born-in", place, "born-in")], columns=TRIPLE_COLS
         )
 
-    enriched = turns.select("conv_id", "turn_idx", "norm_text").join(
-        F.broadcast(meta.select("conv_id", "biographee")), "conv_id", "left"
-    )
+    from .normalize import with_biographee
+
+    enriched = with_biographee(turns, meta)
     return grouped_map(enriched, _home, _TRIPLE_SCHEMA)
 
 

@@ -88,6 +88,48 @@ def test_jaccard_verify_broadcast_path(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_flagship_has_no_meta_broadcast(spark):
+    """The round-3 verdict's scale-killer: the flagship's per-conversation
+    stages broadcast-joined `meta` (one row per conversation — corpus-
+    scale, a driver OOM at 10^12 turns). biographee is now threaded onto
+    the turn-0 row by stage 0, so the fused stage-2 / stage-1 plans must
+    contain NO join at all on the turns side — in particular no
+    BroadcastExchange — even with Catalyst's size-based auto-broadcast
+    disabled (which would otherwise mask a lingering hint at sandbox
+    scale)."""
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.operators import (
+        mentions,
+        normalize,
+        scan,
+        stage2,
+    )
+
+    tdf = fx.transcripts_sdf(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        turns, meta = normalize.normalize(tdf)
+        assert "biographee" in turns.columns  # stage-0 threading
+        extracted = mentions.extract_people_combined(turns, meta)
+        plan1 = plan_of(extracted, "simple")
+        assert "BroadcastExchange" not in plan1 and "Join" not in plan1
+        conv_names, conv_aliases = mentions.split_extracted(extracted)
+        surfaces = mentions.registry_surfaces_fused(conv_names, conv_aliases)
+        index = scan.build_surface_index(surfaces)
+        fused = stage2.fused_scan_extract(turns, meta, index)
+        plan2 = plan_of(fused, "simple")
+        assert "BroadcastExchange" not in plan2 and "Join" not in plan2
+        # legacy fallback (no biographee column): a plain un-hinted join
+        # that degrades to shuffle when auto-broadcast is off
+        legacy = turns.drop("biographee")
+        plan3 = plan_of(stage2.fused_scan_extract(legacy, meta, index), "simple")
+        assert "BroadcastExchange" not in plan3
+        assert "SortMergeJoin" in plan3 or "ShuffledHashJoin" in plan3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_jaccard_verify_auto_picks_shuffle_for_big_profiles(spark):
     """broadcast_sets='auto' must fall back to a shuffled hash join when
     the measured profile payload exceeds the broadcast budget — the

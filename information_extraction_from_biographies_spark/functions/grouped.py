@@ -79,6 +79,7 @@ def grouped_map(
     partitions: int | None = None,
     out_rows_per_batch: int = 4096,
     pre_sorted: bool = False,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """applyInPandas semantics (``fn`` sees one whole group, returns a
     DataFrame of output rows) at mapInPandas cost. See module docstring.
@@ -91,7 +92,19 @@ def grouped_map(
     ``pre_sorted=True`` asserts the input is already hash-partitioned on
     ``key`` and sorted by (key, order) within partitions (e.g. a persisted
     ``repartition(N, key).sortWithinPartitions(key, order)`` shared by
-    several passes) — skips this call's shuffle + sort entirely."""
+    several passes) — skips this call's shuffle + sort entirely.
+
+    ``pre_partitioned=True`` asserts only the hash-partitioning (e.g. a
+    snapshot committed BUCKETED on ``key`` and re-read through the
+    catalog, whose per-bucket files are not mutually sorted): the shuffle
+    is skipped but the partition-local sort still runs — the Exchange-free
+    path for bucketed stage re-reads. The caller must also pin
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    (plans.Pipeline does): mapInPandas declares no required distribution,
+    so the planner's DisableUnnecessaryBucketedScan rule would otherwise
+    revert the scan to regular splittable reads and a large bucket file
+    could fragment one key across partitions — undetectable by
+    iter_key_groups' per-partition guard."""
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
 
@@ -111,6 +124,8 @@ def grouped_map(
 
     if pre_sorted:
         return df.mapInPandas(mapper, schema=schema)
+    if pre_partitioned:
+        return df.sortWithinPartitions(key, order).mapInPandas(mapper, schema=schema)
     return (
         df.repartition(partitions, key)
         .sortWithinPartitions(key, order)

@@ -52,6 +52,7 @@ def extract_people_combined(
     meta: DataFrame | None = None,
     pre_sorted: bool = False,
     user_dict=None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """One extraction pass → (conv_id, kind∈{name,alias}, name, alias_type,
     alias). Persist/materialize THIS when both splits are needed — the
@@ -72,7 +73,11 @@ def extract_people_combined(
     index = build_name_dict_index(user_dict) if user_dict else None
     enriched = with_biographee(turns, meta)
     return grouped_map(
-        enriched, _make_extract_group(index), _EXTRACT_SCHEMA, pre_sorted=pre_sorted
+        enriched,
+        _make_extract_group(index),
+        _EXTRACT_SCHEMA,
+        pre_sorted=pre_sorted,
+        pre_partitioned=pre_partitioned,
     )
 
 

@@ -47,6 +47,7 @@ def fused_scan_extract(
     meta: DataFrame | None,
     index: SurfaceIndexHandle,
     pre_sorted: bool = False,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """→ tagged-union DataFrame; see module docstring. Persist this and
     split with the accessors below.
@@ -92,7 +93,9 @@ def fused_scan_extract(
     from .normalize import with_biographee
 
     enriched = with_biographee(turns, meta)
-    return grouped_map(enriched, _go, _SCHEMA, pre_sorted=pre_sorted)
+    return grouped_map(
+        enriched, _go, _SCHEMA, pre_sorted=pre_sorted, pre_partitioned=pre_partitioned
+    )
 
 
 # ------------------------------------------------------------- splitters

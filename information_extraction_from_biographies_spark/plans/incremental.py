@@ -61,7 +61,7 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators import canonicalize, graph, mentions, normalize, scan, stage2
 from ..sources.checkpoint import CheckpointStore
-from .pipeline import PipelineResult
+from .pipeline import BUCKET_KEYS, PipelineResult
 
 # corpus-scale tables are delta-committed with chain-resolved reads; the
 # two groups differ in WHICH conversations their delta covers, hence which
@@ -220,6 +220,7 @@ class IncrementalPipeline:
         base_snapshot: str,
         snapshot_id: str,
         user_dict=None,
+        buckets: int | None = None,
     ) -> None:
         if base_snapshot == snapshot_id:
             raise ValueError("incremental snapshot id must differ from base")
@@ -229,6 +230,26 @@ class IncrementalPipeline:
         self.base = base_snapshot
         self.snapshot_id = snapshot_id
         self.user_dict = user_dict
+        # same BUCKET_KEYS layout as the batch pipeline: the per-delta
+        # rejoins (people ⋈ labels, nodes' name-keyed aggregate+joins, the
+        # delta turn passes) read their committed sides pre-partitioned
+        if buckets is None:
+            buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        self.buckets = buckets
+        if buckets > 0:
+            # same correctness pin as plans.pipeline: mapInPandas declares
+            # no distribution requirement, so without this the planner
+            # reverts bucketed scans to splittable reads and a big bucket
+            # file can fragment a conversation across partitions
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+
+    def _bucket_args(self, name: str) -> dict:
+        key = BUCKET_KEYS.get(name)
+        if key is None or self.buckets <= 0:
+            return {}
+        return {"bucket_keys": key, "buckets": self.buckets}
 
     # -- helpers -----------------------------------------------------
     def _write_meta(self, rescan_mode: str) -> None:
@@ -253,7 +274,7 @@ class IncrementalPipeline:
             if store.is_committed(name, sid):
                 skipped.append(name)
                 return store.read(name, sid)
-            store.commit(build(), name, sid, input_snapshots=inputs)
+            store.commit(build(), name, sid, input_snapshots=inputs, **self._bucket_args(name))
             executed.append(name)
             return store.read(name, sid)
 
@@ -266,8 +287,12 @@ class IncrementalPipeline:
         enriched0.unpersist()
 
         # ---- stage 1 (delta extraction + vocabulary-scale merge) ---
+        # committed-layout check, not this run's knob (see plans/pipeline)
+        d_turns_bucketed = (
+            store.lineage("stage0_turns", sid).get("bucketing", {}) or {}
+        ).get("keys") == ["conv_id"]
         extracted = mentions.extract_people_combined(
-            d_turns, d_meta, user_dict=self.user_dict
+            d_turns, d_meta, user_dict=self.user_dict, pre_partitioned=d_turns_bucketed
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
         d_names = _materialize("stage1_names", lambda: ext_names, {"stage0_turns": sid})
@@ -372,7 +397,12 @@ class IncrementalPipeline:
             s2_turns, s2_meta, s2_aliases = d_turns, d_meta, d_aliases
 
         index = scan.build_surface_index(merged_surfaces)
-        fused = stage2.fused_scan_extract(s2_turns, s2_meta, index).persist()
+        # the rescan union destroys the delta's bucket distribution, so the
+        # Exchange-free path applies only on the no-rescan (ingestion) shape
+        fused = stage2.fused_scan_extract(
+            s2_turns, s2_meta, index,
+            pre_partitioned=d_turns_bucketed and not any_rescan,
+        ).persist()
         d_mentions = _materialize(
             "stage2_mentions",
             lambda: stage2.mention_rows(fused),

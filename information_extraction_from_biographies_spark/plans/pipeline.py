@@ -51,6 +51,24 @@ STAGES = [
     "timeline",
 ]
 
+# Stage snapshots committed BUCKETED on the key their downstream consumers
+# join/group on (sources/bucketed.py): the read-back scan then satisfies
+# the planner's required distribution and the Exchange disappears —
+# stage0_turns feeds both conv-grouped Python passes shuffle-free
+# (grouped_map pre_partitioned), and the stage-3/4 vocabulary-scale joins
+# (people ⋈ labels on name==vertex, nodes' alias-attr aggregate, the
+# incremental path's per-delta rejoins) are co-located. Tables NOT listed
+# are never re-joined on a stable key (their bucketing would be a pure
+# extra write shuffle).
+BUCKET_KEYS = {
+    "stage0_turns": "conv_id",
+    "registry_bits": "person",
+    "stage1_people": "name",
+    "stage1_alias_registry": "name",
+    "cc_labels": "vertex",
+    "stage3_entities": "name",
+}
+
 
 @dataclass
 class PipelineResult:
@@ -68,6 +86,7 @@ class Pipeline:
         cc_salt: int = 0,
         user_dict=None,
         registry_via_file: bool = False,
+        buckets: int | None = None,
     ) -> None:
         """``user_dict``: iterable of known person names for the N1
         dictionary-segmentation channel (the jieba user dicts of
@@ -76,7 +95,12 @@ class Pipeline:
         ``registry_via_file``: distribute the stage-2 probe dictionary via
         a registry parquet under the warehouse instead of driver collect +
         broadcast — the ≥10^7-surface path (scan.build_surface_index
-        via_file)."""
+        via_file).
+
+        ``buckets``: bucket count for the BUCKET_KEYS stage commits
+        (None → spark.sql.shuffle.partitions; 0 disables bucketing and
+        commits plain parquet). A deployment sizes this at
+        table_size/128 MB, same count on every co-joined table."""
         self.spark = spark
         self.store = CheckpointStore(spark, warehouse)
         self.warehouse = warehouse
@@ -84,6 +108,29 @@ class Pipeline:
         self.cc_salt = cc_salt
         self.user_dict = user_dict
         self.registry_via_file = registry_via_file
+        if buckets is None:
+            buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        self.buckets = buckets
+        if buckets > 0:
+            # The Python passes consume the bucketed turns scan through
+            # mapInPandas, which declares NO required distribution — so the
+            # DisableUnnecessaryBucketedScan rule would silently revert the
+            # scan to regular splittable file reads ("Bucketed: false
+            # (disabled by query planner)"), and at scale a >128 MB bucket
+            # file then splits at row-group boundaries, fragmenting a
+            # conversation across partitions (iter_key_groups' contiguity
+            # guard is per-partition and cannot see that). Pinning the conf
+            # keeps every bucketed scan bucketed: one partition per bucket,
+            # groups whole. Correctness-bearing, not a tuning knob.
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+
+    def _bucket_args(self, name: str) -> dict:
+        key = BUCKET_KEYS.get(name)
+        if key is None or self.buckets <= 0:
+            return {}
+        return {"bucket_keys": key, "buckets": self.buckets}
 
     def run(self, transcripts: DataFrame, resume: bool = True, fail_after: str | None = None) -> PipelineResult:
         """Run all stages; with resume=True, committed stages are read back
@@ -98,7 +145,7 @@ class Pipeline:
                 skipped.append(name)
                 return self.store.read(name, sid)
             df = build()
-            self.store.commit(df, name, sid, input_snapshots=inputs)
+            self.store.commit(df, name, sid, input_snapshots=inputs, **self._bucket_args(name))
             executed.append(name)
             if fail_after == name:
                 raise RuntimeError(f"injected failure after committing {name}")
@@ -113,9 +160,18 @@ class Pipeline:
         meta = _materialize("stage0_meta", lambda: norm_meta, {"transcripts": "input"})
         enriched0.unpersist()
 
-        # stage 1 — one extraction pass, persisted across the two table writes
+        # stage 1 — one extraction pass, persisted across the two table
+        # writes. The turns snapshot is committed bucketed on conv_id, so
+        # the read-back is already hash-partitioned: the pass skips its
+        # repartition Exchange (grouped_map pre_partitioned) and pays only
+        # the partition-local sort. Decided from the COMMITTED lineage, not
+        # this run's knob — a resume over a snapshot written unbucketed by
+        # an earlier run must not assume co-location it doesn't have.
+        turns_bucketed = (
+            self.store.lineage("stage0_turns", sid).get("bucketing", {}) or {}
+        ).get("keys") == ["conv_id"]
         extracted = mentions.extract_people_combined(
-            turns, meta, user_dict=self.user_dict
+            turns, meta, user_dict=self.user_dict, pre_partitioned=turns_bucketed
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
 
@@ -150,7 +206,9 @@ class Pipeline:
             f"{self.warehouse}/_registry/surfaces-{sid}" if self.registry_via_file else None
         )
         index = scan.build_surface_index(surfaces_df, via_file=via_file)
-        fused = stage2.fused_scan_extract(turns, meta, index).persist()
+        fused = stage2.fused_scan_extract(
+            turns, meta, index, pre_partitioned=turns_bucketed
+        ).persist()
 
         mention_rows = _materialize(
             "stage2_mentions",

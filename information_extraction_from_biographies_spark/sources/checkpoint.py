@@ -79,18 +79,30 @@ class CheckpointStore:
         if bucket_keys is not None and buckets > 0:
             from .bucketed import write_bucketed
 
+            keys = [bucket_keys] if isinstance(bucket_keys, str) else list(bucket_keys)
+            # align write tasks with buckets: repartition by the SAME hash
+            # the bucketing uses (Murmur3 pmod), so each task holds exactly
+            # one bucket and writes ONE file — without this, every upstream
+            # task writes a file per bucket it touches (tasks x buckets
+            # small files per commit)
             write_bucketed(
-                df,
+                df.repartition(buckets, *keys),
                 self._catalog_name(table, snapshot_id),
-                bucket_keys,
+                keys,
                 buckets,
                 path=path,
                 mode="overwrite",
             )
         else:
             df.write.mode("overwrite").parquet(path)
-        # per-partition lineage: one row per output file with its row count
-        written = self.spark.read.parquet(path)
+        # per-partition lineage: one row per output file with its row count.
+        # Bucketed snapshots read back through the catalog: a bucketed
+        # write of an EMPTY frame produces zero data files, which a raw
+        # parquet read cannot even infer a schema from.
+        if bucket_keys is not None and buckets > 0:
+            written = self.spark.table(self._catalog_name(table, snapshot_id))
+        else:
+            written = self.spark.read.parquet(path)
         per_file = (
             written.groupBy(F.input_file_name().alias("partition_file"))
             .count()
@@ -112,6 +124,11 @@ class CheckpointStore:
                 "keys": [bucket_keys] if isinstance(bucket_keys, str) else list(bucket_keys),
                 "num_buckets": buckets,
                 "catalog_table": self._catalog_name(table, snapshot_id),
+                # recorded so a new session can re-register the table by
+                # DDL even when the snapshot has zero data files
+                "schema_ddl": ", ".join(
+                    f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields
+                ),
             }
         tmp = self._lineage_path(table, snapshot_id) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -128,7 +145,10 @@ class CheckpointStore:
         with open(lp, encoding="utf-8") as f:
             lineage = json.load(f)
         try:
-            actual = self.spark.read.parquet(sp).count()
+            # read() resolves bucketed snapshots through the catalog — a
+            # raw parquet read cannot infer a schema from a zero-file
+            # (empty) bucketed snapshot
+            actual = self.read(table, snapshot_id).count()
         except Exception:
             return False
         return actual == lineage["total_rows"]
@@ -146,11 +166,15 @@ class CheckpointStore:
             if bucketing is not None:
                 cat = bucketing["catalog_table"]
                 if not self.spark.catalog.tableExists(cat):
-                    # declare the existing file layout with DDL (no rewrite)
-                    df = self.spark.read.parquet(self._snapshot_dir(table, snapshot_id))
-                    cols = ", ".join(
-                        f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields
-                    )
+                    # declare the existing file layout with DDL (no rewrite);
+                    # schema from the lineage record — an empty snapshot has
+                    # no files to infer from
+                    cols = bucketing.get("schema_ddl")
+                    if cols is None:
+                        df = self.spark.read.parquet(self._snapshot_dir(table, snapshot_id))
+                        cols = ", ".join(
+                            f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields
+                        )
                     keys = ", ".join(f"`{k}`" for k in bucketing["keys"])
                     self.spark.sql(
                         f"CREATE TABLE {cat} ({cols}) USING parquet "

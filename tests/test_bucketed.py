@@ -100,6 +100,108 @@ def test_round_trip_and_spec(spark, bucketed_pair):
     assert bucket_spec(spark, "tb_scores") == (["doc_id"], 8)
 
 
+def test_grouped_map_pre_partitioned_over_bucketed_snapshot(spark, tmp_path):
+    """The Exchange-free Python-pass path: a snapshot committed bucketed on
+    conv_id, re-read through the catalog, feeds grouped_map with
+    pre_partitioned=True — the plan keeps the BUCKETED scan (one partition
+    per bucket, groups whole) and has NO Exchange, and every conversation
+    is processed exactly once (a cross-partition fragment would double a
+    group, which iter_key_groups' per-partition guard cannot see)."""
+    import pandas as pd
+
+    from information_extraction_from_biographies_spark.functions.grouped import (
+        grouped_map,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "wh"))
+    turns = spark.range(3000).select(
+        (F.col("id") % 91).cast("string").alias("conv_id"),
+        (F.col("id") / 91).cast("int").alias("turn_idx"),
+        F.sha1(F.col("id").cast("string")).alias("text"),
+    )
+    store.commit(turns, "turns", "s1", bucket_keys="conv_id", buckets=8)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]], "n": [len(g)]})
+
+    # the conf Pipeline pins for this path (see plans/pipeline.py): without
+    # it the planner reverts the bucketed scan under a mapInPandas consumer
+    with _conf_ctx(spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"):
+        t = store.read("turns", "s1")
+        out = grouped_map(t, per_conv, "conv_id string, n long", pre_partitioned=True)
+        plan = plan_of(out, "simple")
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        rows = {r["conv_id"]: r["n"] for r in out.collect()}
+        assert len(rows) == 91 and sum(rows.values()) == 3000
+
+    # control: with the default autoBucketedScan the planner DISABLES the
+    # bucketed scan for this plan shape — the hazard the conf pin exists for
+    t = store.read("turns", "s1")
+    out = grouped_map(t, per_conv, "conv_id string, n long", pre_partitioned=True)
+    assert "disabled by query planner" in plan_of(out, "simple")
+    cat = store._catalog_name("turns", "s1")
+    spark.sql(f"DROP TABLE IF EXISTS {cat}")
+
+
+def test_pipeline_bucketed_parity(spark, tmp_path):
+    """Pipeline(buckets=8) (bucketed commits + Exchange-free Python passes)
+    produces byte-identical stage tables to Pipeline(buckets=0) (plain
+    parquet, full shuffles) — the layout is a plan optimization, never a
+    semantic change. Also pins that the constructor set the
+    autoBucketedScan conf the pre_partitioned path needs."""
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+    f = fx.make_fixture(n_convs=6)
+    tdf = fx.transcripts_sdf(spark, f)
+    bucketed = Pipeline(spark, str(tmp_path / "whb"), snapshot_id="b1", buckets=8)
+    assert (
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        == "false"
+    )
+    plain = Pipeline(spark, str(tmp_path / "whp"), snapshot_id="p1", buckets=0)
+    rb = bucketed.run(tdf)
+    rp = plain.run(tdf)
+    assert rb.tables.keys() == rp.tables.keys()
+    for name in ["triples", "mentions", "entities", "nodes", "cooccurrence", "timeline"]:
+        a = sorted(map(tuple, rb.tables[name].collect()))
+        b = sorted(map(tuple, rp.tables[name].collect()))
+        assert a == b, f"bucketed vs plain mismatch in {name}"
+    # and the bucketed run really committed the layout
+    assert bucketed.store.lineage("stage0_turns", "b1")["bucketing"]["keys"] == [
+        "conv_id"
+    ]
+    assert "bucketing" not in plain.store.lineage("stage0_turns", "p1")
+
+
+def test_pipeline_resume_over_unbucketed_snapshot(spark, tmp_path):
+    """pre_partitioned is decided from the COMMITTED lineage, not this
+    run's knob: resuming with buckets=8 over a snapshot an earlier run
+    committed plain must keep the repartition shuffle (no false
+    co-location assumption) and still complete correctly."""
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+    f = fx.make_fixture(n_convs=4)
+    tdf = fx.transcripts_sdf(spark, f)
+    wh = str(tmp_path / "wh")
+    old = Pipeline(spark, wh, snapshot_id="v1", buckets=0)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        old.run(tdf, fail_after="stage0_meta")
+    assert "bucketing" not in old.store.lineage("stage0_turns", "v1")
+
+    new = Pipeline(spark, wh, snapshot_id="v1", buckets=8)
+    res = new.run(tdf, resume=True)
+    assert "stage0_turns" in res.skipped_stages
+    assert res.tables["triples"].count() > 0
+    # the reference parity fixture path: triples equal a fresh full run
+    fresh = Pipeline(spark, str(tmp_path / "wh2"), snapshot_id="f1", buckets=8).run(tdf)
+    assert sorted(map(tuple, res.tables["triples"].collect())) == sorted(
+        map(tuple, fresh.tables["triples"].collect())
+    )
+
+
 def test_checkpoint_bucketed_resume_keeps_layout(spark, tmp_path):
     """A bucketed snapshot re-read through the store joins with zero
     Exchange — including after the catalog entry is dropped (new-session

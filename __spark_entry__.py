@@ -774,10 +774,12 @@ def _graph_khop(spark, sf_dir):
 
 
 def _mm_image_features(spark, sf_dir):
-    """Rows-only by design: features derive from the binary payload (the
-    deterministic FakeCodec byte stream), which SQL cannot reproduce.
-    ``histo8`` is serialized to a comma string so the driver's canonical
-    row sort/hash works (arrays are unhashable in pandas)."""
+    """Hash-checked against DuckDB: synth_media's payload byte j of row i
+    is (i*31 + j*17 + 3) % 256 and FakeCodec tiles it to width*height, so
+    the oracle regenerates the exact pixel array from range() and mirrors
+    mean/std-pop/8-bin histogram without seeing the binary.  ``histo8`` is
+    serialized to a comma string so the driver's canonical row sort/hash
+    works (arrays are unhashable in pandas)."""
     from information_extraction_from_biographies_spark.operators import multimodal as mm
 
     feats = mm.image_features(mm.synth_media(spark, n=48))
@@ -802,8 +804,10 @@ def _mm_frame_sample(spark, sf_dir):
 
 
 def _mm_audio_features(spark, sf_dir):
-    """Rows-only by design: rms derives from the binary payload bytes
-    (np.random.RandomState stream), which SQL cannot reproduce."""
+    """Hash-checked against DuckDB: the PCM array is
+    ((i*31 + j*17 + 3) % 256 - 127.5)/127.5 in float64 (see
+    multimodal.synth_media / FakeCodec.decode_audio), so the oracle
+    reproduces rms = sqrt(mean(pcm^2)) exactly from range()."""
     from information_extraction_from_biographies_spark.operators import multimodal as mm
 
     return mm.audio_features(mm.synth_media(spark, n=48)).select(
@@ -865,17 +869,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _text_token_count,
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
-        # --- multimodal plumbing with relational oracles
+        # --- multimodal plumbing with relational oracles (the feature
+        #     queries hash-check because synth_media's payload bytes are
+        #     an arithmetic series DuckDB regenerates from range())
         "mm_resize": _mm_resize,
         "mm_frame_sample": _mm_frame_sample,
+        "mm_image_features": _mm_image_features,
+        "mm_audio_features": _mm_audio_features,
         # --- rows-only tail: KG pipeline (NLP extraction is not
-        #     SQL-expressible) and binary-payload multimodal features
+        #     SQL-expressible)
         "kg_triples": _kg_triples,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_timeline": _kg_timeline,
         "kg_entities": _kg_entities,
-        "mm_image_features": _mm_image_features,
-        "mm_audio_features": _mm_audio_features,
     }
 
 
@@ -1563,6 +1569,49 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": """
             SELECT i AS media_id, 16 AS n_bytes
             FROM range(0, 48) t(i) WHERE i % 3 = 0
+        """,
+        # payload byte j of row i = (i*31 + j*17 + 3) % 256 (synth_media);
+        # FakeCodec tiles the payload to width*height pixels, so pixel p
+        # has byte index p % L.  std is population std (numpy default).
+        "mm_image_features": """
+            WITH img AS (
+              SELECT i, 8 + i % 8 AS w, 8 AS h, 128 + (i % 5) * 64 AS L
+              FROM range(0, 48) t(i) WHERE i % 3 = 0
+            ),
+            px AS (
+              SELECT i, ((i * 31 + (p % L) * 17 + 3) % 256) AS b
+              FROM img, LATERAL unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) u(p)
+            ),
+            hist AS (
+              SELECT g.i,
+                     string_agg(CAST(COALESCE(c.cnt, 0) AS VARCHAR), ',' ORDER BY g.bucket) AS histo8
+              FROM (SELECT img.i, r.bucket FROM img, range(0, 8) r(bucket)) g
+              LEFT JOIN (SELECT i, b // 32 AS bucket, COUNT(*) AS cnt
+                         FROM px GROUP BY 1, 2) c
+                ON g.i = c.i AND g.bucket = c.bucket
+              GROUP BY g.i
+            )
+            SELECT s.i AS media_id,
+                   ROUND(AVG(s.b), 6) AS mean_px,
+                   ROUND(stddev_pop(s.b), 6) AS std_px,
+                   ANY_VALUE(hist.histo8) AS histo8
+            FROM px s JOIN hist ON s.i = hist.i
+            GROUP BY s.i
+        """,
+        # PCM sample j = (byte_j - 127.5)/127.5 in float64 (decode_audio)
+        "mm_audio_features": """
+            WITH aud AS (
+              SELECT i, 128 + (i % 5) * 64 AS L
+              FROM range(0, 48) t(i) WHERE i % 3 = 1
+            ),
+            pcm AS (
+              SELECT i, L, (((i * 31 + p * 17 + 3) % 256) - 127.5) / 127.5 AS v
+              FROM aud, LATERAL unnest(generate_series(0, CAST(L - 1 AS BIGINT))) u(p)
+            )
+            SELECT i AS media_id,
+                   ROUND(sqrt(AVG(v * v)), 6) AS rms,
+                   L AS n_samples
+            FROM pcm GROUP BY i, L
         """,
     }
     # The IVF oracle does a (size-bounded) driver-side parquet read to

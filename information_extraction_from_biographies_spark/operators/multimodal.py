@@ -39,17 +39,28 @@ class FakeCodec:
         return np.tile(raw, reps)[:need].reshape(height, width)
 
     def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
-        raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        # float64 so the PCM arithmetic is bit-identical to any engine
+        # doing the same ops in double (the relational oracle relies on it)
+        raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
         return (raw - 127.5) / 127.5
 
 
 def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
-    """Deterministic binary fixtures (no external data)."""
-    rng = np.random.RandomState(seed)
+    """Deterministic binary fixtures (no external data).
+
+    Payload byte j of row i is ``(i*31 + j*17 + seed) % 256`` — an
+    arithmetic series, so a relational oracle can regenerate the exact
+    pixel/PCM arrays from ``range()`` without ever seeing the binary
+    (the feature queries are hash-checked against DuckDB on this)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.randint(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8))
+        size = 128 + (i % 5) * 64
+        payload = (
+            ((np.arange(size, dtype=np.int64) * 17 + i * 31 + seed) % 256)
+            .astype(np.uint8)
+            .tobytes()
+        )
         meta = {
             "width": 8 + i % 8 if kind != "audio" else None,
             "height": 8 if kind != "audio" else None,

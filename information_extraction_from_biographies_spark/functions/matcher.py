@@ -79,6 +79,19 @@ class AhoCorasick:
         semantics of the reference's ``text.find(x) != -1`` probe."""
         return {pat_idx for _, pat_idx in self.finditer(text)}
 
+    def contains_any(self, text: str) -> bool:
+        """True iff ANY pattern occurs — short-circuits on the first hit
+        (``contained`` walks the whole text; the rescan probe only needs
+        a boolean per conversation)."""
+        state = 0
+        for ch in text:
+            while state and ch not in self._goto[state]:
+                state = self._fail[state]
+            state = self._goto[state].get(ch, 0)
+            if self._out[state]:
+                return True
+        return False
+
 
 class SurfaceIndex:
     """Surface → persons mapping backed by one Aho-Corasick automaton.
@@ -127,6 +140,11 @@ class SurfaceIndex:
                 seen.add(person)
                 out.append(person)
         return out
+
+    def any_in(self, text: str) -> bool:
+        """True iff any surface is contained in ``text`` (first-hit
+        short-circuit) — the incremental rescan's affected-history probe."""
+        return self._ac.contains_any(text)
 
     def person_surfaces(self) -> dict[str, list[str]]:
         """person → sorted distinct surfaces (the reference's

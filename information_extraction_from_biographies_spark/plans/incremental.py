@@ -20,7 +20,9 @@ Scale posture (what is O(delta) vs O(vocabulary) vs O(history)):
 - affected-conversation detection (``rescan="exact"``): the probe
   dictionary's changed-surface set (symmetric difference of (person,
   surface, kind) tuples — additions AND evictions) is collected (it is
-  delta-sized) and matched against history with one shuffle-free
+  delta-sized; ``rescan_via_file=True`` swaps the collect for a parquet
+  the workers read themselves, for deltas that change ≥10^7 surfaces)
+  and matched against history with one shuffle-free
   mapInPandas READ of the base turn table. O(history) in bytes read — the
   irreducible cost of exactness — but no shuffle, no state, trivial CPU
   (an Aho-Corasick pass over text already in the page cache / object
@@ -118,36 +120,29 @@ def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame
     ).unionByName(delta)
 
 
-def _changed_surface_convs(
-    base_turns: DataFrame, changed_surfaces: list[str]
-) -> DataFrame:
+def _changed_surface_convs(base_turns: DataFrame, index) -> DataFrame:
     """conv_ids of historical conversations whose text contains ANY changed
     probe surface → (conv_id). Shuffle-free scan: surfaces never contain
-    a newline (asserted), so a match in the paragraph-joined conversation
-    text implies a match in some single turn — per-turn matching over the
-    raw partition layout suffices, and only the (tiny) match set shuffles
-    for the distinct."""
+    a newline (the caller asserts), so a match in the paragraph-joined
+    conversation text implies a match in some single turn — per-turn
+    matching over the raw partition layout suffices, and only the (tiny)
+    match set shuffles for the distinct.
+
+    ``index``: SurfaceIndexHandle (driver-collected, broadcast) or
+    FileSurfaceIndexHandle (each worker reads the surface parquet itself —
+    the ≥10^7-changed-surface path where a driver collect would OOM; same
+    escape hatch the batch registry has via scan.build_surface_index)."""
     import pandas as pd
 
-    from ..functions.matcher import AhoCorasick
-
-    if not changed_surfaces:
-        return base_turns.sparkSession.createDataFrame([], "conv_id string")
-    # A surface containing a newline could span turns in the joined text;
-    # none can exist (names/aliases are single-line extractions) — guard so
-    # the shuffle-free shortcut can never silently miss one.
-    bad = [s for s in changed_surfaces if "\n" in s]
-    if bad:
-        raise ValueError(f"probe surfaces must be single-line, got {bad[:3]}")
-    surfaces = sorted(changed_surfaces)
+    getter = index.worker_getter()
 
     def _probe(batches):
-        ac = AhoCorasick(surfaces)
+        idx = getter()
         for pdf in batches:
             hits = [
                 cid
                 for cid, txt in zip(pdf["conv_id"], pdf["norm_text"])
-                if isinstance(txt, str) and ac.contained(txt)
+                if isinstance(txt, str) and idx.any_in(txt)
             ]
             yield pd.DataFrame({"conv_id": sorted(set(hits))})
 
@@ -221,7 +216,13 @@ class IncrementalPipeline:
         snapshot_id: str,
         user_dict=None,
         buckets: int | None = None,
+        rescan_via_file: bool = False,
     ) -> None:
+        """``rescan_via_file``: distribute the changed-surface probe set
+        via a parquet under the warehouse instead of driver collect +
+        broadcast — the ≥10^7-changed-surface path, same escape hatch the
+        batch registry has (Pipeline.registry_via_file). Affected-conv
+        output is identical on both paths (tests/test_incremental.py)."""
         if base_snapshot == snapshot_id:
             raise ValueError("incremental snapshot id must differ from base")
         self.spark = spark
@@ -230,6 +231,7 @@ class IncrementalPipeline:
         self.base = base_snapshot
         self.snapshot_id = snapshot_id
         self.user_dict = user_dict
+        self.rescan_via_file = rescan_via_file
         # same BUCKET_KEYS layout as the batch pipeline: the per-delta
         # rejoins (people ⋈ labels, nodes' name-keyed aggregate+joins, the
         # delta turn passes) read their committed sides pre-partitioned
@@ -355,10 +357,35 @@ class IncrementalPipeline:
                 .unionByName(base_surfaces.exceptAll(merged_surfaces))
                 .select("surface")
                 .distinct()
+                .filter(F.col("surface").isNotNull() & (F.col("surface") != ""))
             )
-            changed_list = [r["surface"] for r in changed.collect() if r["surface"]]
+            # A surface containing a newline could span turns in the
+            # paragraph-joined text; none can exist (names/aliases are
+            # single-line extractions) — distributed guard so the
+            # shuffle-free per-turn probe can never silently miss one.
+            if changed.filter(F.col("surface").contains("\n")).limit(1).count():
+                raise ValueError("probe surfaces must be single-line")
+            if self.rescan_via_file:
+                from ..functions.matcher import FileSurfaceIndexHandle
+
+                path = f"{self.warehouse}/_registry/changed-{sid}"
+                changed.select(
+                    "surface",
+                    F.lit("").alias("person"),
+                    F.lit("probe").alias("kind"),
+                ).write.mode("overwrite").parquet(path)
+                if not self.spark.read.parquet(path).limit(1).count():
+                    return delta_convs
+                probe_index = FileSurfaceIndexHandle(path)
+            else:
+                from ..functions.matcher import SurfaceIndexHandle
+
+                rows = [(r["surface"], "", "probe") for r in changed.collect()]
+                if not rows:
+                    return delta_convs
+                probe_index = SurfaceIndexHandle(self.spark, rows)
             affected = _changed_surface_convs(
-                full_view(store, "stage0_turns", base), changed_list
+                full_view(store, "stage0_turns", base), probe_index
             )
             return affected.unionByName(delta_convs).distinct()
 

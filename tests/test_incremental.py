@@ -261,3 +261,29 @@ def test_full_view_plan_never_shuffles_history(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rescan_via_file_matches_collect_path(spark, tmp_path):
+    """rescan_via_file=True (workers read the changed-surface parquet
+    themselves; no driver collect) produces the identical excluded set AND
+    identical output tables to the default collect+broadcast path — the
+    same escape-hatch contract the batch registry has
+    (tests/test_scan_paths.py)."""
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+
+    whc, whf = str(tmp_path / "col"), str(tmp_path / "file")
+    Pipeline(spark, whc, snapshot_id="s1").run(base_t)
+    Pipeline(spark, whf, snapshot_id="s1").run(base_t)
+    pc = IncrementalPipeline(spark, whc, "s1", "s2")
+    pf = IncrementalPipeline(spark, whf, "s1", "s2", rescan_via_file=True)
+    col = pc.run(delta_t, rescan="exact")
+    fil = pf.run(delta_t, rescan="exact")
+    # the changed-surface parquet really exists (the path was exercised)
+    import os
+
+    assert os.path.isdir(f"{whf}/_registry/changed-s2")
+    exc_c = {r["conv_id"] for r in pc.store.read("excluded_convs", "s2").collect()}
+    exc_f = {r["conv_id"] for r in pf.store.read("excluded_convs", "s2").collect()}
+    assert exc_c == exc_f and exc_c
+    _assert_equal_results(col, fil)

@@ -24,18 +24,48 @@ _STOPWORDS = {
 # punctuation marks — the regex budget most BPE vocabularies start from
 _BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# CJK codepoints tokenize one-per-character (BPE vocabularies carry zh/ja
+# chars as single tokens far more often than multi-char merges): CJK
+# Unified + Ext A + Compatibility, Hiragana/Katakana, Hangul syllables.
+# BMP-only (Java regex is UTF-16-unit based; Ext-B rarity doesn't justify
+# surrogate-pair handling in the hot path).
+_CJK_CLASS = "\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF\\uAC00-\\uD7AF"
+_CJK_SPLIT = rf"[{_CJK_CLASS}]|[A-Za-z]+|[0-9]+|[^{_CJK_CLASS}A-Za-z0-9\s]"
 
-def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens, a BPE-ish regex pre-token count, and the len/4
-    byte-budget estimate — pure expressions."""
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_SPLIT), F.lit(0))).alias(
-            "re_tokens"
-        ),
-        F.ceil(F.length(text_col) / 4).cast("long").alias("bpe_tokens_est"),
-    )
+
+def token_count(docs: DataFrame, text_col: str = "text", mode: str = "ws") -> DataFrame:
+    """Token-budget estimators, pure column expressions (JVM regex, no UDF).
+
+    ``mode="ws"`` (default): whitespace tokens, the BPE-ish regex
+    pre-token count, and the len/4 byte-budget estimate — the
+    space-delimited-corpus surface the driver oracles.
+
+    ``mode="cjk"`` → (doc_id, n_tokens): every CJK codepoint is its own
+    token, interleaved Latin/digit runs and punctuation count as in the
+    BPE split. On the reference's actual domain (Chinese biographies, no
+    spaces) whitespace tokens are ~1 per document, which silently breaks
+    ``pack_sequences`` budgets — this is the unit those budgets need.
+
+    ``mode="chars"`` → (doc_id, n_tokens): non-whitespace codepoints, the
+    blunt upper bound."""
+    if mode == "ws":
+        return docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(_BPE_SPLIT), F.lit(0))
+            ).alias("re_tokens"),
+            F.ceil(F.length(text_col) / 4).cast("long").alias("bpe_tokens_est"),
+        )
+    if mode == "cjk":
+        counter = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(_CJK_SPLIT), F.lit(0))
+        )
+    elif mode == "chars":
+        counter = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    else:
+        raise ValueError(f"mode must be 'ws', 'cjk' or 'chars', got {mode!r}")
+    return docs.select("doc_id", counter.cast("long").alias("n_tokens"))
 
 
 def _argmax_lang_col():

@@ -537,3 +537,64 @@ def test_incremental_decontaminate_returns_original_id_type(spark):
     )
     assert dict(hit.dtypes)["doc_id"] == "bigint"
     assert {r["doc_id"] for r in hit.collect()} == {10}
+
+
+# ---- CJK-aware token counting feeding pack budgets ---------------------
+
+
+def test_token_count_cjk_mixed_text(spark):
+    """Hand-computed counts on mixed zh/en text: each CJK codepoint is one
+    token; Latin words, digit runs, and punctuation count as BPE-ish
+    pre-tokens. ws mode on the same zh text collapses to ~1 token/doc —
+    the unit mismatch the cjk mode exists to fix."""
+    from information_extraction_from_biographies_spark.operators.textstats import (
+        token_count,
+    )
+
+    rows = [
+        # 4 CJK + "GPT" + "4" + "。" = 7
+        (0, "王安石讀GPT4。"),
+        # 6 CJK, no spaces = 6
+        (1, "字介甫號半山"),
+        # pure-English control: words + punct behave like the BPE split = 5
+        (2, "hello world, 42 ok"),
+        # katakana + hangul are CJK classes too: 3 + 2 + 1 = 6
+        (3, "カタカ한국!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs, mode="cjk").collect()}
+    assert got == {0: 7, 1: 6, 2: 5, 3: 6}
+    ws = {r["doc_id"]: r["ws_tokens"] for r in token_count(docs, mode="ws").collect()}
+    assert ws[1] == 1  # whitespace tokens are meaningless on zh
+    chars = {r["doc_id"]: r["n_tokens"] for r in token_count(docs, mode="chars").collect()}
+    assert chars[2] == len("hello world, 42 ok".replace(" ", ""))
+    with pytest.raises(ValueError, match="mode"):
+        token_count(docs, mode="bogus")
+
+
+def test_pack_sequences_budget_over_zh_fixtures(spark):
+    """pack_sequences driven by mode='cjk' counts respects the token
+    budget on spaceless Chinese documents; driven by ws_tokens every doc
+    would count 1 and a 'budget-8' pack could hold unbounded text."""
+    from information_extraction_from_biographies_spark.operators.curation import (
+        pack_sequences,
+    )
+    from information_extraction_from_biographies_spark.operators.textstats import (
+        token_count,
+    )
+
+    zh = ["王安石字介甫", "號半山臨川人", "慶曆二年進士", "神宗熙寧二年", "拜參知政事", "推行新法", "世稱王荊公", "卒諡文"]
+    docs = spark.createDataFrame(list(enumerate(zh)), "doc_id long, text string")
+    counted = token_count(docs, mode="cjk")
+    packed = pack_sequences(counted, budget=8, tokens_col="n_tokens")
+    per_pack = {
+        r["pack_id"]: r["pack_tokens"]
+        for r in packed.select("pack_id", "pack_tokens").distinct().collect()
+    }
+    assert per_pack and all(v <= 8 for v in per_pack.values())
+    # every doc's n_tokens is its codepoint count here (pure CJK)
+    n = {r["doc_id"]: r["n_tokens"] for r in counted.collect()}
+    assert n == {i: len(t) for i, t in enumerate(zh)}
+    # the ws unit really is degenerate on this corpus
+    ws = token_count(docs, mode="ws")
+    assert all(r["ws_tokens"] == 1 for r in ws.collect())

@@ -234,11 +234,13 @@ class IncrementalPipeline:
         self.rescan_via_file = rescan_via_file
         # same BUCKET_KEYS layout as the batch pipeline: the per-delta
         # rejoins (people ⋈ labels, nodes' name-keyed aggregate+joins, the
-        # delta turn passes) read their committed sides pre-partitioned
-        if buckets is None:
-            buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        # delta turn passes) read their committed sides pre-partitioned.
+        # None → auto-sized at run() from the DELTA's on-disk bytes
+        # (plans.pipeline.auto_bucket_count): a sandbox-scale delta
+        # commits plain parquet (bucketing a sub-GiB delta measured ~+10%
+        # pure overhead), a production-scale one gets one bucket/128 MB.
         self.buckets = buckets
-        if buckets > 0:
+        if buckets is not None and buckets > 0:
             # same correctness pin as plans.pipeline: mapInPandas declares
             # no distribution requirement, so without this the planner
             # reverts bucketed scans to splittable reads and a big bucket
@@ -247,9 +249,20 @@ class IncrementalPipeline:
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
             )
 
+    def _resolve_buckets(self, new_transcripts) -> int:
+        from .pipeline import auto_bucket_count
+
+        if self.buckets is None:
+            self.buckets = auto_bucket_count(new_transcripts)
+        if self.buckets > 0:
+            self.spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+        return self.buckets
+
     def _bucket_args(self, name: str) -> dict:
         key = BUCKET_KEYS.get(name)
-        if key is None or self.buckets <= 0:
+        if key is None or not self.buckets:
             return {}
         return {"bucket_keys": key, "buckets": self.buckets}
 
@@ -268,6 +281,7 @@ class IncrementalPipeline:
     ) -> PipelineResult:
         if rescan not in ("exact", "none"):
             raise ValueError(f"rescan must be 'exact' or 'none', got {rescan!r}")
+        self._resolve_buckets(new_transcripts)
         store, sid, base = self.store, self.snapshot_id, self.base
         executed: list[str] = []
         skipped: list[str] = []

@@ -77,6 +77,40 @@ class PipelineResult:
     skipped_stages: list[str]
 
 
+# auto-bucketing thresholds: below MIN_BYTES the layout is pure overhead
+# (bucketing a table smaller than one shuffle partition trades nothing
+# for extra files + a write repartition — measured ~+10% on a 600-conv
+# delta); above it, one bucket per ~128 MB, the parquet split size, so a
+# bucket file is one task either way.
+AUTO_BUCKET_MIN_BYTES = 1 << 30
+AUTO_BUCKET_TARGET_BYTES = 128 << 20
+AUTO_BUCKET_MAX = 4096
+
+
+def auto_bucket_count(df: DataFrame) -> int:
+    """Size BUCKET_KEYS commits from the INPUT's on-disk bytes — the
+    deployment rule from the constructor docstring (table_size/128 MB)
+    made automatic. Returns 0 (plain parquet) for inputs under 1 GiB:
+    at that size every stage table fits a handful of shuffle partitions
+    and the bucketed layout cannot win back its write repartition.
+    Inputs whose size is unknowable (in-memory test frames) also get 0 —
+    explicit ``buckets=`` overrides for those."""
+    spark = df.sparkSession
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in df.inputFiles():
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            total += path.getFileSystem(hconf).getFileStatus(path).getLen()
+    except Exception:
+        # unknowable size (in-memory frames, exotic sources): stay plain
+        return 0
+    if total < AUTO_BUCKET_MIN_BYTES:
+        return 0
+    return min(AUTO_BUCKET_MAX, -(-total // AUTO_BUCKET_TARGET_BYTES))
+
+
 class Pipeline:
     def __init__(
         self,
@@ -98,9 +132,10 @@ class Pipeline:
         via_file).
 
         ``buckets``: bucket count for the BUCKET_KEYS stage commits
-        (None → spark.sql.shuffle.partitions; 0 disables bucketing and
-        commits plain parquet). A deployment sizes this at
-        table_size/128 MB, same count on every co-joined table."""
+        (0 disables bucketing and commits plain parquet; None → sized
+        automatically from the input's on-disk bytes at run() —
+        ``auto_bucket_count``: plain under 1 GiB, one bucket per ~128 MB
+        above, same count on every co-joined table)."""
         self.spark = spark
         self.store = CheckpointStore(spark, warehouse)
         self.warehouse = warehouse
@@ -108,27 +143,35 @@ class Pipeline:
         self.cc_salt = cc_salt
         self.user_dict = user_dict
         self.registry_via_file = registry_via_file
-        if buckets is None:
-            buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
         self.buckets = buckets
-        if buckets > 0:
-            # The Python passes consume the bucketed turns scan through
-            # mapInPandas, which declares NO required distribution — so the
-            # DisableUnnecessaryBucketedScan rule would silently revert the
-            # scan to regular splittable file reads ("Bucketed: false
-            # (disabled by query planner)"), and at scale a >128 MB bucket
-            # file then splits at row-group boundaries, fragmenting a
-            # conversation across partitions (iter_key_groups' contiguity
-            # guard is per-partition and cannot see that). Pinning the conf
-            # keeps every bucketed scan bucketed: one partition per bucket,
-            # groups whole. Correctness-bearing, not a tuning knob.
-            spark.conf.set(
-                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-            )
+        if buckets is not None and buckets > 0:
+            self._pin_bucketed_scan_conf()
+
+    def _pin_bucketed_scan_conf(self) -> None:
+        # The Python passes consume the bucketed turns scan through
+        # mapInPandas, which declares NO required distribution — so the
+        # DisableUnnecessaryBucketedScan rule would silently revert the
+        # scan to regular splittable file reads ("Bucketed: false
+        # (disabled by query planner)"), and at scale a >128 MB bucket
+        # file then splits at row-group boundaries, fragmenting a
+        # conversation across partitions (iter_key_groups' contiguity
+        # guard is per-partition and cannot see that). Pinning the conf
+        # keeps every bucketed scan bucketed: one partition per bucket,
+        # groups whole. Correctness-bearing, not a tuning knob.
+        self.spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+
+    def _resolve_buckets(self, transcripts: DataFrame) -> int:
+        if self.buckets is None:
+            self.buckets = auto_bucket_count(transcripts)
+        if self.buckets > 0:
+            self._pin_bucketed_scan_conf()
+        return self.buckets
 
     def _bucket_args(self, name: str) -> dict:
         key = BUCKET_KEYS.get(name)
-        if key is None or self.buckets <= 0:
+        if key is None or not self.buckets:
             return {}
         return {"bucket_keys": key, "buckets": self.buckets}
 
@@ -137,6 +180,7 @@ class Pipeline:
         instead of recomputed. ``fail_after`` aborts after committing the
         named table (kill-resume tests)."""
         sid = self.snapshot_id
+        self._resolve_buckets(transcripts)
         executed: list[str] = []
         skipped: list[str] = []
 

@@ -154,7 +154,7 @@ def _changed_surface_convs(base_turns: DataFrame, index) -> DataFrame:
 
 
 def compact_snapshot(
-    store: CheckpointStore, snapshot_id: str, new_snapshot: str
+    store: CheckpointStore, snapshot_id: str, new_snapshot: str, buckets: int | None = None
 ) -> list[str]:
     """Rewrite an incremental chain into a flat BASE snapshot: every
     table's full view is committed under ``new_snapshot`` with no parent
@@ -163,19 +163,31 @@ def compact_snapshot(
     Iceberg's rewrite-data-files compaction on this store. Pure rewrite:
     bounded-staleness ingestion (``rescan="none"``) is healed by a batch
     ``Pipeline`` run over the compacted turn table, not by compaction
-    itself. Returns the compacted table names."""
-    from .pipeline import STAGES
+    itself. Returns the compacted table names.
+
+    ``buckets``: BUCKET_KEYS layout for the rewritten tables — the
+    compaction is the natural moment to (re)establish co-location, since
+    a chain of per-delta files has lost it. None → auto-sized per table
+    from the chain's on-disk bytes (``auto_bucket_count`` over the full
+    view: sandbox-scale chains stay plain, corpus-scale ones get one
+    bucket per ~128 MB); 0 forces plain."""
+    from .pipeline import STAGES, auto_bucket_count
 
     tables = list(dict.fromkeys([*STAGES, "registry_bits", "cc_labels"]))
     done = []
     for t in tables:
         if not store.is_committed(t, snapshot_id):
             continue
+        view = full_view(store, t, snapshot_id)
+        key = BUCKET_KEYS.get(t)
+        n = buckets if buckets is not None else auto_bucket_count(view)
+        bucket_args = {"bucket_keys": key, "buckets": n} if key and n else {}
         store.commit(
-            full_view(store, t, snapshot_id),
+            view,
             t,
             new_snapshot,
             input_snapshots={t: snapshot_id},
+            **bucket_args,
         )
         done.append(t)
     return done

@@ -177,3 +177,36 @@ def test_expiry_protects_live_chains(spark, tmp_path):
     assert set(expired) == {"v1", "v2"}
     assert not store.is_committed("stage0_turns", "v1")
     assert store.is_committed("stage0_turns", "c1")
+
+
+def test_compaction_can_establish_bucketed_layout(spark, tmp_path):
+    """compact_snapshot(buckets=N) rewrites the chain's BUCKET_KEYS tables
+    bucketed (the natural moment to re-establish co-location a per-delta
+    chain has lost); default auto-sizing keeps sandbox-scale chains plain;
+    contents equal the chain-resolved view either way."""
+    fixture = fx.make_fixture(n_convs=10, seed=5)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    ids = sorted(r["conv_id"] for r in sdf.select("conv_id").distinct().collect())
+    wh = str(tmp_path / "wh")
+    Pipeline(spark, wh, snapshot_id="v1").run(
+        sdf.filter(F.col("conv_id").isin(ids[:7]))
+    )
+    IncrementalPipeline(spark, wh, "v1", "v2").run(
+        sdf.filter(~F.col("conv_id").isin(ids[:7])), rescan="none"
+    )
+    store = CheckpointStore(spark, wh)
+    want = _rows(full_view(store, "stage0_turns", "v2"))
+
+    # auto (default): tiny chain -> plain
+    compact_snapshot(store, "v2", "c_auto")
+    assert "bucketing" not in store.lineage("stage0_turns", "c_auto")
+    assert _rows(store.read("stage0_turns", "c_auto")) == want
+
+    # forced: BUCKET_KEYS tables come out bucketed, others plain
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    compact_snapshot(store, "v2", "c_b", buckets=4)
+    lin = store.lineage("stage0_turns", "c_b")
+    assert lin["bucketing"]["keys"] == ["conv_id"]
+    assert lin["bucketing"]["num_buckets"] == 4
+    assert "bucketing" not in store.lineage("stage2_triples", "c_b")
+    assert _rows(store.read("stage0_turns", "c_b")) == want

@@ -329,6 +329,12 @@ def main() -> None:
     max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "1.0"))
     kg_trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
     kg_max_trials = int(os.environ.get("SPARK_GRAFT_KG_MAX_TRIALS", "4"))
+    # Untimed PIPELINE warmup at ~5% scale: the first same-session run
+    # pays JVM JIT/codegen warm-up on every stage (measured 18.7-21.9 s
+    # cold vs 13.0-14.5 s warm at 12k convs) — a per-session cost like
+    # JVM startup, excluded the same way. The per-trial noop warmup in
+    # kg_pipeline_run only covers worker spawn + page cache.
+    kg_pipeline_run(spark, max(600, n_convs // 20), career_reps=career_reps)
     kg_trial_log: list[dict] = []
     results: dict[float, tuple] = {}
     while len(kg_trial_log) < max(kg_trials, 1) + kg_max_trials:

@@ -306,12 +306,20 @@ class IncrementalPipeline:
             executed.append(name)
             return store.read(name, sid)
 
+        def _group(*specs) -> dict:
+            from .pipeline import materialize_group
+
+            return materialize_group(_materialize, list(specs))
+
         # ---- stage 0 (delta only) ----------------------------------
         norm_turns, norm_meta, enriched0 = normalize.normalize_shared(
             new_transcripts, persist_enriched=True
         )
-        d_turns = _materialize("stage0_turns", lambda: norm_turns, {"transcripts": "delta"})
-        d_meta = _materialize("stage0_meta", lambda: norm_meta, {"transcripts": "delta"})
+        g0 = _group(
+            ("stage0_turns", lambda: norm_turns, {"transcripts": "delta"}),
+            ("stage0_meta", lambda: norm_meta, {"transcripts": "delta"}),
+        )
+        d_turns, d_meta = g0["stage0_turns"], g0["stage0_meta"]
         enriched0.unpersist()
 
         # ---- stage 1 (delta extraction + vocabulary-scale merge) ---
@@ -323,10 +331,11 @@ class IncrementalPipeline:
             d_turns, d_meta, user_dict=self.user_dict, pre_partitioned=d_turns_bucketed
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
-        d_names = _materialize("stage1_names", lambda: ext_names, {"stage0_turns": sid})
-        d_aliases = _materialize(
-            "stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}
+        g1 = _group(
+            ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
+            ("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}),
         )
+        d_names, d_aliases = g1["stage1_names"], g1["stage1_aliases"]
         extracted.unpersist()
 
         def _base_bits() -> DataFrame:
@@ -456,20 +465,33 @@ class IncrementalPipeline:
             s2_turns, s2_meta, index,
             pre_partitioned=d_turns_bucketed and not any_rescan,
         ).persist()
-        d_mentions = _materialize(
-            "stage2_mentions",
-            lambda: stage2.mention_rows(fused),
-            {"stage0_turns": sid, "stage1_people": sid},
+        g2 = _group(
+            (
+                "stage2_mentions",
+                lambda: stage2.mention_rows(fused),
+                {"stage0_turns": sid, "stage1_people": sid},
+            ),
+            (
+                "stage2_triples",
+                lambda: stage2.all_triples_fused(fused, s2_aliases, s2_meta),
+                {"stage0_turns": sid, "stage1_people": sid},
+            ),
+            (
+                "stage2_timeline",
+                lambda: stage2.timeline_rows(fused),
+                {"stage0_turns": sid},
+            ),
+            (
+                "cooccurrence",
+                lambda: stage2.cooc_scores(fused),
+                {"stage2_mentions": sid},
+            ),
         )
-        d_triples = _materialize(
-            "stage2_triples",
-            lambda: stage2.all_triples_fused(fused, s2_aliases, s2_meta),
-            {"stage0_turns": sid, "stage1_people": sid},
-        )
-        d_timeline = _materialize(
-            "stage2_timeline",
-            lambda: stage2.timeline_rows(fused),
-            {"stage0_turns": sid},
+        d_mentions, d_triples, d_timeline, cooc = (
+            g2["stage2_mentions"],
+            g2["stage2_triples"],
+            g2["stage2_timeline"],
+            g2["cooccurrence"],
         )
 
         # ---- stage 3: incremental connected components -------------
@@ -499,22 +521,20 @@ class IncrementalPipeline:
         )
 
         # ---- stage 4 ----------------------------------------------
-        nodes = _materialize(
-            "nodes",
-            lambda: graph.nodes_table(people, alias_reg, entities),
-            {"stage3_entities": sid},
+        g4 = _group(
+            (
+                "nodes",
+                lambda: graph.nodes_table(people, alias_reg, entities),
+                {"stage3_entities": sid},
+            ),
+            ("edges", lambda: d_triples, {"stage2_triples": sid}),
+            (
+                "timeline",
+                lambda: graph.timeline_final(d_timeline),
+                {"stage2_timeline": sid},
+            ),
         )
-        edges = _materialize("edges", lambda: d_triples, {"stage2_triples": sid})
-        cooc = _materialize(
-            "cooccurrence",
-            lambda: stage2.cooc_scores(fused),
-            {"stage2_mentions": sid},
-        )
-        timeline = _materialize(
-            "timeline",
-            lambda: graph.timeline_final(d_timeline),
-            {"stage2_timeline": sid},
-        )
+        nodes, edges, timeline = g4["nodes"], g4["edges"], g4["timeline"]
         fused.unpersist()
 
         return PipelineResult(

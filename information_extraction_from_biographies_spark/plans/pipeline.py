@@ -70,6 +70,26 @@ BUCKET_KEYS = {
 }
 
 
+def materialize_group(materialize, specs, serial: bool = False) -> dict:
+    """Commit INDEPENDENT stages concurrently: each thread only submits
+    Spark jobs (SparkSession is thread-safe; the scheduler interleaves
+    them across the same executor cores), so the per-commit latency floor
+    — job scheduling round-trips, output commit protocol, lineage write,
+    read-back count — is paid once per GROUP instead of once per table.
+    Work is not duplicated: concurrent first-actions over a shared
+    .persist() upstream dedup through the BlockManager's per-block lock.
+    ``specs``: [(name, build, inputs)] with no dependencies between
+    entries (callers group by the stage DAG). Returns {name: DataFrame};
+    raises the first failure after all threads settle."""
+    if serial or len(specs) == 1:
+        return {n: materialize(n, b, i) for n, b, i in specs}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+        futs = [(n, ex.submit(materialize, n, b, i)) for n, b, i in specs]
+        return {n: f.result() for n, f in futs}
+
+
 @dataclass
 class PipelineResult:
     tables: dict[str, DataFrame]
@@ -195,13 +215,24 @@ class Pipeline:
                 raise RuntimeError(f"injected failure after committing {name}")
             return self.store.read(name, sid)
 
+        # fail_after is a kill-resume test knob: its contract is "nothing
+        # AFTER the named commit happened", which concurrent group-mates
+        # would violate — so the injection forces serial commits.
+        serial = fail_after is not None
+
+        def _group(*specs) -> dict:
+            return materialize_group(_materialize, list(specs), serial=serial)
+
         # stage 0 — ONE enrichment pass feeds both commits (the persisted
         # turn-0 frame is shared; previously each table re-ran the pass)
         norm_turns, norm_meta, enriched0 = normalize.normalize_shared(
             transcripts, persist_enriched=True
         )
-        turns = _materialize("stage0_turns", lambda: norm_turns, {"transcripts": "input"})
-        meta = _materialize("stage0_meta", lambda: norm_meta, {"transcripts": "input"})
+        g0 = _group(
+            ("stage0_turns", lambda: norm_turns, {"transcripts": "input"}),
+            ("stage0_meta", lambda: norm_meta, {"transcripts": "input"}),
+        )
+        turns, meta = g0["stage0_turns"], g0["stage0_meta"]
         enriched0.unpersist()
 
         # stage 1 — one extraction pass, persisted across the two table
@@ -219,27 +250,33 @@ class Pipeline:
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
 
-        conv_names = _materialize("stage1_names", lambda: ext_names, {"stage0_turns": sid})
-        conv_aliases = _materialize("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid})
+        g1 = _group(
+            ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
+            ("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}),
+        )
+        conv_names, conv_aliases = g1["stage1_names"], g1["stage1_aliases"]
         extracted.unpersist()
 
         # the (person, bits) flag table is committed as its own stage: it is
         # the vocabulary-scale state that lets IncrementalPipeline merge the
         # U4 registry without rescanning history (bit_or is associative)
-        bits = _materialize(
-            "registry_bits",
-            lambda: mentions.registry_bits(conv_names, conv_aliases),
-            {"stage1_names": sid, "stage1_aliases": sid},
+        gr = _group(
+            (
+                "registry_bits",
+                lambda: mentions.registry_bits(conv_names, conv_aliases),
+                {"stage1_names": sid, "stage1_aliases": sid},
+            ),
+            (
+                "stage1_alias_registry",
+                lambda: conv_aliases.select("name", "alias_type", "alias").distinct(),
+                {"stage1_aliases": sid},
+            ),
         )
+        bits, alias_reg = gr["registry_bits"], gr["stage1_alias_registry"]
         people = _materialize(
             "stage1_people",
             lambda: mentions.people_from_bits(bits),
             {"registry_bits": sid},
-        )
-        alias_reg = _materialize(
-            "stage1_alias_registry",
-            lambda: conv_aliases.select("name", "alias_type", "alias").distinct(),
-            {"stage1_aliases": sid},
         )
 
         # stage 2 — ONE fused pass over the text computes mention scan,
@@ -254,30 +291,47 @@ class Pipeline:
             turns, meta, index, pre_partitioned=turns_bucketed
         ).persist()
 
-        mention_rows = _materialize(
-            "stage2_mentions",
-            lambda: stage2.mention_rows(fused),
-            {"stage0_turns": sid, "stage1_people": sid},
-        )
-        triple_rows = _materialize(
-            "stage2_triples",
-            lambda: stage2.all_triples_fused(fused, conv_aliases, meta),
-            {"stage0_turns": sid, "stage1_people": sid, "stage2_mentions": sid},
-        )
-        timeline_rows = _materialize(
-            "stage2_timeline",
-            lambda: stage2.timeline_rows(fused),
-            {"stage0_turns": sid},
-        )
-
-        # stage 3 — CC labels committed separately so incremental updates
-        # can seed from them (canonicalize.incremental_components)
-        labels = _materialize(
-            "cc_labels",
-            lambda: canonicalize.connected_components(
-                canonicalize.alias_edges(alias_reg), salt=self.cc_salt
+        # the five independent consumers of the persisted fused pass (plus
+        # cc_labels, which needs only the alias registry) commit as ONE
+        # group — the fused blocks compute once under the BlockManager
+        # lock and the commit latency floor is paid once, not five times
+        g2 = _group(
+            (
+                "stage2_mentions",
+                lambda: stage2.mention_rows(fused),
+                {"stage0_turns": sid, "stage1_people": sid},
             ),
-            {"stage1_alias_registry": sid},
+            (
+                "stage2_triples",
+                lambda: stage2.all_triples_fused(fused, conv_aliases, meta),
+                {"stage0_turns": sid, "stage1_people": sid, "stage2_mentions": sid},
+            ),
+            (
+                "stage2_timeline",
+                lambda: stage2.timeline_rows(fused),
+                {"stage0_turns": sid},
+            ),
+            # stage 3 — CC labels committed separately so incremental
+            # updates can seed from them (incremental_components)
+            (
+                "cc_labels",
+                lambda: canonicalize.connected_components(
+                    canonicalize.alias_edges(alias_reg), salt=self.cc_salt
+                ),
+                {"stage1_alias_registry": sid},
+            ),
+            # stage 4 — co-occurrence comes from the fused per-conv fold
+            (
+                "cooccurrence",
+                lambda: stage2.cooc_scores(fused),
+                {"stage2_mentions": sid},
+            ),
+        )
+        mention_rows, triple_rows = g2["stage2_mentions"], g2["stage2_triples"]
+        timeline_rows, labels, cooc = (
+            g2["stage2_timeline"],
+            g2["cc_labels"],
+            g2["cooccurrence"],
         )
         entities = _materialize(
             "stage3_entities",
@@ -285,29 +339,20 @@ class Pipeline:
             {"cc_labels": sid, "stage1_people": sid},
         )
 
-        # stage 4 — co-occurrence comes from the fused per-conv fold
-        # (cooccurrence.conv_pair_scores); the relational A2/A3 operators
-        # stay available for ad-hoc queries over materialized mentions.
-        nodes = _materialize(
-            "nodes",
-            lambda: graph.nodes_table(people, alias_reg, entities),
-            {"stage3_entities": sid},
+        g4 = _group(
+            (
+                "nodes",
+                lambda: graph.nodes_table(people, alias_reg, entities),
+                {"stage3_entities": sid},
+            ),
+            ("edges", lambda: triple_rows, {"stage2_triples": sid}),
+            (
+                "timeline",
+                lambda: graph.timeline_final(timeline_rows),
+                {"stage2_timeline": sid},
+            ),
         )
-        edges = _materialize(
-            "edges",
-            lambda: triple_rows,
-            {"stage2_triples": sid},
-        )
-        cooc = _materialize(
-            "cooccurrence",
-            lambda: stage2.cooc_scores(fused),
-            {"stage2_mentions": sid},
-        )
-        timeline = _materialize(
-            "timeline",
-            lambda: graph.timeline_final(timeline_rows),
-            {"stage2_timeline": sid},
-        )
+        nodes, edges, timeline = g4["nodes"], g4["edges"], g4["timeline"]
         fused.unpersist()
 
         return PipelineResult(

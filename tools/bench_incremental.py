@@ -42,6 +42,12 @@ def main() -> None:
         "runs": results,
     }
     path = os.path.join(REPO, "BENCH", "incremental.json")
+    # preserve sections other tools own (bench_chain.py's "chain")
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            out.setdefault(k, v)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

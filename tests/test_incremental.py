@@ -287,3 +287,24 @@ def test_rescan_via_file_matches_collect_path(spark, tmp_path):
     exc_f = {r["conv_id"] for r in pf.store.read("excluded_convs", "s2").collect()}
     assert exc_c == exc_f and exc_c
     _assert_equal_results(col, fil)
+
+
+def test_incremental_bucketed_matches_full_recompute(spark, tmp_path):
+    """End-to-end pin of the incremental BUCKETED path (explicit
+    buckets=8: auto resolves plain at sandbox scale, so without this the
+    pre_partitioned delta-extraction wiring would go untested): a
+    bucketed base + bucketed delta reproduces the plain full recompute
+    table-for-table, and the delta's turns snapshot really committed
+    bucketed."""
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+    wh = str(tmp_path / "b")
+    Pipeline(spark, wh, snapshot_id="s1", buckets=8).run(base_t)
+    pipe = IncrementalPipeline(spark, wh, "s1", "s2", buckets=8)
+    inc = pipe.run(delta_t, rescan="exact")
+    assert pipe.store.lineage("stage0_turns", "s2")["bucketing"]["keys"] == ["conv_id"]
+
+    full = Pipeline(spark, str(tmp_path / "f"), snapshot_id="f1", buckets=0).run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(inc, full)

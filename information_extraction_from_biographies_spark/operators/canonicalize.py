@@ -255,6 +255,38 @@ def incremental_components(
     O(history) CC iteration.
 
     → (vertex, component) covering all prior vertices plus new ones."""
+    mini, new_vertices = incremental_relabel(
+        prior_labels, new_edges, src=src, dst=dst, max_iter=max_iter
+    )
+    # relabel prior vertices whose component merged (mini is O(new) rows —
+    # broadcast against the vocabulary-scale prior table)
+    relabel = F.broadcast(
+        mini.select(F.col("vertex").alias("_mv"), F.col("component").alias("_mc"))
+    )
+    prior_re = (
+        prior_labels.join(relabel, prior_labels.component == F.col("_mv"), "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("_mc"), F.col("component")).alias("component"),
+        )
+    )
+    return prior_re.unionByName(new_vertices)
+
+
+def incremental_relabel(
+    prior_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """The contraction core of ``incremental_components``, exposed for the
+    copy-on-write label commit: ``(mini, new_vertices)`` where ``mini`` is
+    the (vertex=old label-or-new vertex, component=new label) map from the
+    CC over prior-label-mapped new edges — O(|new_edges|) rows — and
+    ``new_vertices`` the (vertex, component) rows for endpoints the prior
+    table didn't know. A prior vertex's label changes iff its component
+    appears in ``mini`` with vertex != component."""
     e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
@@ -275,19 +307,6 @@ def incremental_components(
         )
     )
     mini = connected_components(flagged.select("src", "dst"), max_iter=max_iter)
-
-    # relabel prior vertices whose component merged (mini is O(new) rows —
-    # broadcast against the vocabulary-scale prior table)
-    relabel = F.broadcast(
-        mini.select(F.col("vertex").alias("_mv"), F.col("component").alias("_mc"))
-    )
-    prior_re = (
-        prior_labels.join(relabel, prior_labels.component == F.col("_mv"), "left")
-        .select(
-            "vertex",
-            F.coalesce(F.col("_mc"), F.col("component")).alias("component"),
-        )
-    )
     # genuinely-new vertices: endpoints the prior label table didn't know
     # (the flagged join already marked them — no membership probe against
     # the vocabulary-scale prior set needed); both sides of this join are
@@ -298,4 +317,4 @@ def incremental_components(
         .distinct()
     )
     new_vertices = nv.join(mini, "vertex", "inner").select("vertex", "component")
-    return prior_re.unionByName(new_vertices)
+    return mini, new_vertices

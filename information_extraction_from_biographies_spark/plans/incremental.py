@@ -36,9 +36,20 @@ Scale posture (what is O(delta) vs O(vocabulary) vs O(history)):
 - stage-2 outputs: committed as DELTA tables (new + rescanned
   conversations). A snapshot chain (parent pointer + per-snapshot
   excluded-conversation list) reconstructs the full view — Iceberg's
-  snapshot/delete-file shape on the checkpoint store. Vocabulary-scale
-  tables (registry, bits, CC labels, entities, nodes) are committed FULL
-  each run; corpus-scale tables are never rewritten.
+  snapshot/delete-file shape on the checkpoint store. Corpus-scale tables
+  are never rewritten.
+- vocabulary-scale tables (registry bits, people, alias registry, CC
+  labels, entities, nodes): committed COPY-ON-WRITE when the base carries
+  them bucketed (VOCAB_BUCKET_KEYS at one shared count) — only the
+  buckets whose keys the delta touched are rewritten, untouched bucket
+  files are hardlinked from the parent (CheckpointStore.commit_partial;
+  Iceberg's CoW data-file rewrite). Per-delta vocabulary write I/O is
+  O(touched buckets) ≈ O(delta), not O(distinct persons); every builder
+  is per-key-local, so each table's touched-bucket contents are computed
+  from file-pruned reads of the SAME bucket ids upstream — no
+  vocabulary-scale read OR write on the bits/people/alias path. An
+  unbucketed base (sandbox scale, where auto-bucketing stays plain) keeps
+  the full-rewrite path.
 
 Exactness: ``IncrementalPipeline.run`` over (base, delta) produces tables
 row-for-row equal to the batch ``Pipeline`` over base ∪ delta (pinned by
@@ -63,7 +74,7 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators import canonicalize, graph, mentions, normalize, scan, stage2
 from ..sources.checkpoint import CheckpointStore
-from .pipeline import BUCKET_KEYS, PipelineResult
+from .pipeline import BUCKET_KEYS, VOCAB_BUCKET_KEYS, PipelineResult
 
 # corpus-scale tables are delta-committed with chain-resolved reads; the
 # two groups differ in WHICH conversations their delta covers, hence which
@@ -229,12 +240,18 @@ class IncrementalPipeline:
         user_dict=None,
         buckets: int | None = None,
         rescan_via_file: bool = False,
+        enable_cow: bool = True,
     ) -> None:
         """``rescan_via_file``: distribute the changed-surface probe set
         via a parquet under the warehouse instead of driver collect +
         broadcast — the ≥10^7-changed-surface path, same escape hatch the
         batch registry has (Pipeline.registry_via_file). Affected-conv
-        output is identical on both paths (tests/test_incremental.py)."""
+        output is identical on both paths (tests/test_incremental.py).
+
+        ``enable_cow``: copy-on-write vocabulary commits when the base
+        carries the bucketed layout (module docstring); False forces the
+        full-rewrite path — an operational escape hatch and the A/B
+        comparator tools/bench_cow.py measures against."""
         if base_snapshot == snapshot_id:
             raise ValueError("incremental snapshot id must differ from base")
         self.spark = spark
@@ -244,6 +261,7 @@ class IncrementalPipeline:
         self.snapshot_id = snapshot_id
         self.user_dict = user_dict
         self.rescan_via_file = rescan_via_file
+        self.enable_cow = enable_cow
         # same BUCKET_KEYS layout as the batch pipeline: the per-delta
         # rejoins (people ⋈ labels, nodes' name-keyed aggregate+joins, the
         # delta turn passes) read their committed sides pre-partitioned.
@@ -278,6 +296,33 @@ class IncrementalPipeline:
             return {}
         return {"bucket_keys": key, "buckets": self.buckets}
 
+    def _cow_buckets(self) -> int:
+        """Shared bucket count of the base's vocabulary tables, or 0 when
+        copy-on-write cannot engage (any table missing, unbucketed, on the
+        wrong key, or at a different count — cross-table file-pruned reads
+        require one hash layout)."""
+        n = 0
+        for t, key in VOCAB_BUCKET_KEYS.items():
+            spec = self.store.bucketing_spec(t, self.base)
+            if not spec or spec.get("keys") != [key]:
+                return 0
+            if n and spec["num_buckets"] != n:
+                return 0
+            n = spec["num_buckets"]
+        return n
+
+    def _touched_ids(self, keys_df: DataFrame, key: str, n: int) -> list[int]:
+        """Bucket ids the delta's keys hash into — the same Murmur3-pmod
+        the bucketed layout uses (verified by tests/test_cow.py). Bounded
+        by n (≤ AUTO_BUCKET_MAX), so the collect is a few KB at any
+        corpus size."""
+        rows = (
+            keys_df.select(F.pmod(F.hash(F.col(key)), F.lit(n)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["b"]) for r in rows if r["b"] is not None)
+
     # -- helpers -----------------------------------------------------
     def _write_meta(self, rescan_mode: str) -> None:
         p = _meta_path(self.warehouse, self.snapshot_id)
@@ -297,12 +342,25 @@ class IncrementalPipeline:
         store, sid, base = self.store, self.snapshot_id, self.base
         executed: list[str] = []
         skipped: list[str] = []
+        # copy-on-write engagement: vocabulary tables commit only their
+        # touched buckets when the base carries the shared bucketed layout
+        cow_n = self._cow_buckets() if self.enable_cow else 0
+        cow_builders: dict = {}  # name -> () -> (touched_bucket_ids, df_touched)
+        cow_cache: list[DataFrame] = []  # persisted frames released at return
 
         def _materialize(name: str, build, inputs: dict[str, str]) -> DataFrame:
             if store.is_committed(name, sid):
                 skipped.append(name)
                 return store.read(name, sid)
-            store.commit(build(), name, sid, input_snapshots=inputs, **self._bucket_args(name))
+            cow = cow_builders.get(name)
+            out = cow() if cow is not None else None  # None → full fallback
+            if out is not None:
+                touched, df_touched = out
+                store.commit_partial(
+                    df_touched, name, sid, base, touched, input_snapshots=inputs
+                )
+            else:
+                store.commit(build(), name, sid, input_snapshots=inputs, **self._bucket_args(name))
             executed.append(name)
             return store.read(name, sid)
 
@@ -346,6 +404,56 @@ class IncrementalPipeline:
             return mentions.registry_bits(
                 full_view(store, "stage1_names", base),
                 full_view(store, "stage1_aliases", base),
+            )
+
+        def _committed_touched(name: str) -> list[int] | None:
+            """Touched-bucket ids a vocab table was CoW-committed with at
+            ``sid`` — the durable (resume-safe) source for downstream
+            touched-set unions. A full-but-bucketed commit at the shared
+            count degrades to \"all buckets\"; anything else (plain
+            parquet, foreign count) returns None and the consumer falls
+            back to its full build."""
+            lin = store.lineage(name, sid)
+            cow = lin.get("cow")
+            if cow is not None:
+                return [int(b) for b in cow["touched_buckets"]]
+            if (lin.get("bucketing") or {}).get("num_buckets") == cow_n:
+                return list(range(cow_n))
+            return None
+
+        def _readable(name: str) -> bool:
+            """Can ``name``@sid serve file-pruned bucket reads at cow_n?"""
+            spec = store.bucketing_spec(name, sid)
+            return bool(spec) and spec.get("num_buckets") == cow_n
+
+        if cow_n:
+            delta_bits = mentions.registry_bits(d_names, d_aliases)
+            d_alias_rows = d_aliases.select("name", "alias_type", "alias")
+
+            def _bits_cow():
+                t = self._touched_ids(delta_bits, "person", cow_n)
+                return t, mentions.merge_registry_bits(
+                    store.read_buckets("registry_bits", base, t), delta_bits
+                )
+
+            def _people_cow():
+                t = _committed_touched("registry_bits")
+                if t is None or not _readable("registry_bits"):
+                    return None
+                return t, mentions.people_from_bits(
+                    store.read_buckets("registry_bits", sid, t)
+                )
+
+            def _alias_cow():
+                t = self._touched_ids(d_alias_rows, "name", cow_n)
+                return t, store.read_buckets(
+                    "stage1_alias_registry", base, t
+                ).unionByName(d_alias_rows).distinct()
+
+            cow_builders.update(
+                registry_bits=_bits_cow,
+                stage1_people=_people_cow,
+                stage1_alias_registry=_alias_cow,
             )
 
         bits = _materialize(
@@ -511,6 +619,89 @@ class IncrementalPipeline:
             new_edges = canonicalize.alias_edges(d_aliases)
             return canonicalize.incremental_components(_prior_labels(), new_edges)
 
+        if cow_n:
+
+            def _labels_cow():
+                # CoW needs the base labels as hardlink parent AND as the
+                # file-pruned prior read — a derived bootstrap has neither
+                if not store.is_committed("cc_labels", base):
+                    return None
+                prior = _prior_labels()
+                mini, new_vertices = canonicalize.incremental_relabel(
+                    prior, canonicalize.alias_edges(d_aliases)
+                )
+                mini, new_vertices = mini.persist(), new_vertices.persist()
+                cow_cache.extend([mini, new_vertices])
+                # a prior vertex's label changes iff its component merged
+                # (appears in mini under a different label); mini is
+                # O(delta) → broadcast semijoin, prior never shuffles
+                merged_comps = F.broadcast(
+                    mini.filter(F.col("vertex") != F.col("component")).select(
+                        F.col("vertex").alias("_oc")
+                    )
+                )
+                changed = (
+                    prior.join(merged_comps, prior.component == F.col("_oc"), "leftsemi")
+                    .select("vertex")
+                    .unionByName(new_vertices.select("vertex"))
+                )
+                t = self._touched_ids(changed, "vertex", cow_n)
+                relabel = F.broadcast(
+                    mini.select(F.col("vertex").alias("_mv"), F.col("component").alias("_mc"))
+                )
+                prior_touched = store.read_buckets("cc_labels", base, t)
+                rows = (
+                    prior_touched.join(
+                        relabel, prior_touched.component == F.col("_mv"), "left"
+                    )
+                    .select(
+                        "vertex",
+                        F.coalesce(F.col("_mc"), F.col("component")).alias("component"),
+                    )
+                    .unionByName(new_vertices)
+                )
+                return t, rows
+
+            def _entities_cow():
+                tb, tl = _committed_touched("registry_bits"), _committed_touched("cc_labels")
+                if (
+                    tb is None
+                    or tl is None
+                    or not all(_readable(x) for x in ("stage1_people", "cc_labels"))
+                ):
+                    return None
+                t = sorted(set(tb) | set(tl))
+                # entity rows are per-name joins on the bucket key: inputs
+                # restricted to the same bucket ids are complete per key
+                return t, canonicalize.entity_table_from_labels(
+                    store.read_buckets("stage1_people", sid, t),
+                    store.read_buckets("cc_labels", sid, t),
+                )
+
+            def _nodes_cow():
+                ts = [
+                    _committed_touched(x)
+                    for x in ("registry_bits", "stage1_alias_registry", "cc_labels")
+                ]
+                readable = all(
+                    _readable(x)
+                    for x in ("stage1_people", "stage1_alias_registry", "stage3_entities")
+                )
+                if any(x is None for x in ts) or not readable:
+                    return None
+                t = sorted(set(ts[0]) | set(ts[1]) | set(ts[2]))
+                return t, graph.nodes_table(
+                    store.read_buckets("stage1_people", sid, t),
+                    store.read_buckets("stage1_alias_registry", sid, t),
+                    store.read_buckets("stage3_entities", sid, t),
+                )
+
+            cow_builders.update(
+                cc_labels=_labels_cow,
+                stage3_entities=_entities_cow,
+                nodes=_nodes_cow,
+            )
+
         labels = _materialize(
             "cc_labels", _labels, {"stage1_alias_registry": sid}
         )
@@ -536,6 +727,8 @@ class IncrementalPipeline:
         )
         nodes, edges, timeline = g4["nodes"], g4["edges"], g4["timeline"]
         fused.unpersist()
+        for df in cow_cache:
+            df.unpersist()
 
         return PipelineResult(
             tables={

@@ -67,7 +67,19 @@ BUCKET_KEYS = {
     "stage1_alias_registry": "name",
     "cc_labels": "vertex",
     "stage3_entities": "name",
+    "nodes": "name",
 }
+
+# The vocabulary-scale tables (one row per distinct person/surface, not per
+# corpus row) and their bucket keys — when a base snapshot carries all of
+# them bucketed at one shared count, IncrementalPipeline commits them
+# copy-on-write: only the buckets whose keys the delta touched are
+# rewritten, untouched bucket files are hardlinked from the parent
+# (CheckpointStore.commit_partial). Every builder below is per-key-local
+# (bit_or per person, filter per person, union-distinct per name, label
+# per vertex, equi-join/aggregate on the bucket key), which is exactly the
+# property that makes bucket-granularity CoW compose.
+VOCAB_BUCKET_KEYS = {t: k for t, k in BUCKET_KEYS.items() if t != "stage0_turns"}
 
 
 def materialize_group(materialize, specs, serial: bool = False) -> dict:

@@ -22,10 +22,18 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
+
+# Spark bucketed data files carry their bucket id in the name:
+# part-<task>-<uuid>_<bucketId>.c000.snappy.parquet — the reader groups
+# files by this suffix, which is what lets a snapshot mix files written
+# by different jobs (fresh buckets + files hardlinked from the parent).
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
 
 
 class CheckpointStore:
@@ -130,6 +138,142 @@ class CheckpointStore:
                     f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields
                 ),
             }
+        tmp = self._lineage_path(table, snapshot_id) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(lineage, f, ensure_ascii=False, indent=1)
+        os.replace(tmp, self._lineage_path(table, snapshot_id))  # atomic commit point
+        return path
+
+    # -- copy-on-write path (Iceberg CoW at bucket granularity) --------
+    def bucketing_spec(self, table: str, snapshot_id: str) -> dict | None:
+        """The committed bucketing record ({keys, num_buckets, ...}) of a
+        snapshot, or None if absent/unbucketed — callers use this to decide
+        whether a partial rewrite can align with the parent layout."""
+        try:
+            return self.lineage(table, snapshot_id).get("bucketing")
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def bucket_files(self, table: str, snapshot_id: str) -> dict[int, list[str]]:
+        """bucket_id → data-file paths of a bucketed snapshot, parsed from
+        the filenames (the same mapping Spark's scan uses)."""
+        d = self._snapshot_dir(table, snapshot_id)
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(d):
+            return out
+        for name in os.listdir(d):
+            if name.startswith(("_", ".")):
+                continue
+            m = _BUCKET_ID_RE.search(name)
+            if m:
+                out.setdefault(int(m.group(1)), []).append(os.path.join(d, name))
+        return out
+
+    def read_buckets(self, table: str, snapshot_id: str, bucket_ids) -> DataFrame:
+        """Read ONLY the named buckets of a bucketed snapshot — a
+        file-pruned scan for per-key-local consumers. A bucket holds every
+        row whose key hashes to it, so the projection is complete per key:
+        any per-key computation over these rows equals the same computation
+        over the full table restricted to those keys. The scan is a plain
+        parquet read (no bucket-distribution metadata) — callers feed
+        delta-sized aggregates, not co-located joins."""
+        files = self.bucket_files(table, snapshot_id)
+        picked = [f for b in bucket_ids for f in files.get(b, [])]
+        if not picked:
+            return self.read(table, snapshot_id).filter(F.lit(False))
+        return self.spark.read.parquet(*picked)
+
+    def commit_partial(
+        self,
+        df_touched: DataFrame,
+        table: str,
+        snapshot_id: str,
+        parent_snapshot: str,
+        touched_buckets,
+        input_snapshots: dict[str, str] | None = None,
+        metrics: dict | None = None,
+    ) -> str:
+        """Copy-on-write commit: write ONLY the touched buckets' (full,
+        merged) contents and hardlink every untouched bucket file from the
+        parent snapshot — Iceberg's copy-on-write rewrite expressed on this
+        store. Per-delta write I/O is O(touched buckets), not O(table).
+
+        Contract: ``df_touched`` must hold EXACTLY the merged table's rows
+        whose key hashes into ``touched_buckets`` (same Murmur3-pmod hash
+        the bucketed layout uses), and the parent snapshot must be
+        committed bucketed; the result reads back as the complete merged
+        table under the parent's layout. Hardlinks mean expiring the
+        parent later never invalidates this snapshot (the inodes survive);
+        a cross-device warehouse falls back to copies."""
+        spec = self.bucketing_spec(table, parent_snapshot)
+        if spec is None:
+            raise ValueError(
+                f"commit_partial requires a bucketed parent: {table}@{parent_snapshot}"
+            )
+        keys, n = spec["keys"], spec["num_buckets"]
+        t0 = time.monotonic()
+        path = self._snapshot_dir(table, snapshot_id)
+        from .bucketed import write_bucketed
+
+        cat = self._catalog_name(table, snapshot_id)
+        # one task per bucket (same alignment note as commit())
+        write_bucketed(
+            df_touched.repartition(n, *keys), cat, keys, n, path=path, mode="overwrite"
+        )
+        touched = set(int(b) for b in touched_buckets)
+        reused = 0
+        for b, fs in self.bucket_files(table, parent_snapshot).items():
+            if b in touched:
+                continue
+            for f in fs:
+                dst = os.path.join(path, os.path.basename(f))
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+                crc = os.path.join(
+                    os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+                )
+                if os.path.exists(crc):
+                    dcrc = os.path.join(path, "." + os.path.basename(f) + ".crc")
+                    try:
+                        os.link(crc, dcrc)
+                    except OSError:
+                        shutil.copy2(crc, dcrc)
+                reused += 1
+        # the write registered + cached the table before the links landed
+        self.spark.catalog.refreshTable(cat)
+        written = self.spark.table(cat)
+        per_file = (
+            written.groupBy(F.input_file_name().alias("partition_file"))
+            .count()
+            .collect()
+        )
+        lineage = {
+            "table": table,
+            "snapshot_id": snapshot_id,
+            "input_snapshots": input_snapshots or {},
+            "partitions": [
+                {"partition_file": os.path.basename(r["partition_file"]), "row_count": r["count"]}
+                for r in per_file
+            ],
+            "total_rows": int(sum(r["count"] for r in per_file)),
+            "metrics": dict(metrics or {}, wall_ms=int((time.monotonic() - t0) * 1000)),
+            "bucketing": {
+                "keys": list(keys),
+                "num_buckets": n,
+                "catalog_table": cat,
+                "schema_ddl": ", ".join(
+                    f"`{f_.name}` {f_.dataType.simpleString()}"
+                    for f_ in df_touched.schema.fields
+                ),
+            },
+            "cow": {
+                "parent": parent_snapshot,
+                "touched_buckets": sorted(touched),
+                "reused_files": reused,
+            },
+        }
         tmp = self._lineage_path(table, snapshot_id) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(lineage, f, ensure_ascii=False, indent=1)
@@ -271,9 +415,9 @@ class CheckpointStore:
         Snapshots that live incremental chains still reference (parents
         or members of an unretired chain) are skipped — expiring one
         would break ``plans.incremental.full_view`` for every descendant.
-        Returns the expired ids."""
-        import shutil
-
+        Returns the expired ids. Copy-on-write children of an expired
+        snapshot stay readable: their reused files are hardlinks, so the
+        inodes outlive the parent directory."""
         sids = self.snapshots(table)
         protected = self._chain_protected()
         victims = [

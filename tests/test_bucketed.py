@@ -135,11 +135,14 @@ def test_grouped_map_pre_partitioned_over_bucketed_snapshot(spark, tmp_path):
         rows = {r["conv_id"]: r["n"] for r in out.collect()}
         assert len(rows) == 91 and sum(rows.values()) == 3000
 
-    # control: with the default autoBucketedScan the planner DISABLES the
-    # bucketed scan for this plan shape — the hazard the conf pin exists for
-    t = store.read("turns", "s1")
-    out = grouped_map(t, per_conv, "conv_id string, n long", pre_partitioned=True)
-    assert "disabled by query planner" in plan_of(out, "simple")
+    # control: with the default autoBucketedScan (true — set explicitly,
+    # since any pipeline test running earlier pins it off session-wide)
+    # the planner DISABLES the bucketed scan for this plan shape — the
+    # hazard the conf pin exists for
+    with _conf_ctx(spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"):
+        t = store.read("turns", "s1")
+        out = grouped_map(t, per_conv, "conv_id string, n long", pre_partitioned=True)
+        assert "disabled by query planner" in plan_of(out, "simple")
     cat = store._catalog_name("turns", "s1")
     spark.sql(f"DROP TABLE IF EXISTS {cat}")
 

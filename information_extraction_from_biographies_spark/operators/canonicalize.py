@@ -258,19 +258,26 @@ def incremental_components(
     mini, new_vertices = incremental_relabel(
         prior_labels, new_edges, src=src, dst=dst, max_iter=max_iter
     )
-    # relabel prior vertices whose component merged (mini is O(new) rows —
-    # broadcast against the vocabulary-scale prior table)
+    return relabel_prior(prior_labels, mini).unionByName(new_vertices)
+
+
+def relabel_prior(prior_labels: DataFrame, mini: DataFrame) -> DataFrame:
+    """Apply a ``mini`` contraction map (old label → new label, O(delta)
+    rows) to a prior (vertex, component) table: rows whose component
+    merged take the new label, everything else passes through. THE
+    relabel rule — both the full incremental CC and the copy-on-write
+    label commit go through here, so the semantics cannot diverge. One
+    broadcast left join; the prior table never shuffles."""
     relabel = F.broadcast(
         mini.select(F.col("vertex").alias("_mv"), F.col("component").alias("_mc"))
     )
-    prior_re = (
+    return (
         prior_labels.join(relabel, prior_labels.component == F.col("_mv"), "left")
         .select(
             "vertex",
             F.coalesce(F.col("_mc"), F.col("component")).alias("component"),
         )
     )
-    return prior_re.unionByName(new_vertices)
 
 
 def incremental_relabel(

@@ -39,17 +39,21 @@ Scale posture (what is O(delta) vs O(vocabulary) vs O(history)):
   snapshot/delete-file shape on the checkpoint store. Corpus-scale tables
   are never rewritten.
 - vocabulary-scale tables (registry bits, people, alias registry, CC
-  labels, entities, nodes): committed COPY-ON-WRITE when the base carries
-  them bucketed (VOCAB_BUCKET_KEYS at one shared count) — only the
-  buckets whose keys the delta touched are rewritten, untouched bucket
-  files are hardlinked from the parent (CheckpointStore.commit_partial;
-  Iceberg's CoW data-file rewrite). Per-delta vocabulary write I/O is
+  labels + the component-keyed cc_members mirror, entities, nodes):
+  committed COPY-ON-WRITE when the base carries them bucketed
+  (VOCAB_BUCKET_KEYS at one shared count) — only the buckets whose keys
+  the delta touched are rewritten, untouched bucket files are hardlinked
+  from the parent (CheckpointStore.commit_partial; Iceberg's CoW
+  data-file rewrite). Per-delta vocabulary write I/O is
   O(touched buckets) ≈ O(delta), not O(distinct persons); every builder
   is per-key-local, so each table's touched-bucket contents are computed
-  from file-pruned reads of the SAME bucket ids upstream — no
-  vocabulary-scale read OR write on the bits/people/alias path. An
-  unbucketed base (sandbox scale, where auto-bucketing stays plain) keeps
-  the full-rewrite path.
+  from file-pruned reads of the SAME bucket ids upstream. With CoW
+  engaged there is no vocabulary-scale read OR write anywhere in the
+  delta path: the label commit resolves edge endpoints from pruned
+  cc_labels buckets and merged-component members from pruned cc_members
+  buckets (the inverted index exists precisely because `component` is
+  not cc_labels' bucket key). An unbucketed base (sandbox scale, where
+  auto-bucketing stays plain) keeps the full-rewrite path.
 
 Exactness: ``IncrementalPipeline.run`` over (base, delta) produces tables
 row-for-row equal to the batch ``Pipeline`` over base ∪ delta (pinned by
@@ -178,20 +182,37 @@ def compact_snapshot(
 
     ``buckets``: BUCKET_KEYS layout for the rewritten tables — the
     compaction is the natural moment to (re)establish co-location, since
-    a chain of per-delta files has lost it. None → auto-sized per table
-    from the chain's on-disk bytes (``auto_bucket_count`` over the full
-    view: sandbox-scale chains stay plain, corpus-scale ones get one
-    bucket per ~128 MB); 0 forces plain."""
-    from .pipeline import STAGES, auto_bucket_count
+    a chain of per-delta files has lost it. None → auto-sized from the
+    chain's on-disk bytes (``auto_bucket_count`` over the full view:
+    sandbox-scale chains stay plain, corpus-scale ones get one bucket per
+    ~128 MB); 0 forces plain. The VOCAB_BUCKET_KEYS tables are sized
+    TOGETHER at the largest member's count — copy-on-write engagement
+    (``IncrementalPipeline._cow_buckets``) requires one shared layout, so
+    per-table sizing after a corpus-scale compaction would silently
+    disable CoW for every subsequent delta."""
+    from .pipeline import STAGES, VOCAB_BUCKET_KEYS, auto_bucket_count
 
     tables = list(dict.fromkeys([*STAGES, "registry_bits", "cc_labels"]))
+    vocab_n = buckets
+    if buckets is None:
+        vocab_n = max(
+            (
+                auto_bucket_count(full_view(store, t, snapshot_id))
+                for t in VOCAB_BUCKET_KEYS
+                if store.is_committed(t, snapshot_id)
+            ),
+            default=0,
+        )
     done = []
     for t in tables:
         if not store.is_committed(t, snapshot_id):
             continue
         view = full_view(store, t, snapshot_id)
         key = BUCKET_KEYS.get(t)
-        n = buckets if buckets is not None else auto_bucket_count(view)
+        if t in VOCAB_BUCKET_KEYS:
+            n = vocab_n
+        else:
+            n = buckets if buckets is not None else auto_bucket_count(view)
         bucket_args = {"bucket_keys": key, "buckets": n} if key and n else {}
         store.commit(
             view,
@@ -336,6 +357,22 @@ class IncrementalPipeline:
     def run(
         self, new_transcripts: DataFrame, rescan: str = "exact"
     ) -> PipelineResult:
+        # every persisted frame registers in _live; the finally releases
+        # them on ANY exit (a mid-run commit failure must not pin blocks
+        # in the BlockManager for the driver's lifetime)
+        self._live: list[DataFrame] = []
+        try:
+            return self._run_impl(new_transcripts, rescan)
+        finally:
+            for df in self._live:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — cleanup must not mask
+                    pass
+
+    def _run_impl(
+        self, new_transcripts: DataFrame, rescan: str
+    ) -> PipelineResult:
         if rescan not in ("exact", "none"):
             raise ValueError(f"rescan must be 'exact' or 'none', got {rescan!r}")
         self._resolve_buckets(new_transcripts)
@@ -346,7 +383,7 @@ class IncrementalPipeline:
         # touched buckets when the base carries the shared bucketed layout
         cow_n = self._cow_buckets() if self.enable_cow else 0
         cow_builders: dict = {}  # name -> () -> (touched_bucket_ids, df_touched)
-        cow_cache: list[DataFrame] = []  # persisted frames released at return
+        cow_cache = self._live  # persisted frames, released by run()'s finally
 
         def _materialize(name: str, build, inputs: dict[str, str]) -> DataFrame:
             if store.is_committed(name, sid):
@@ -360,7 +397,14 @@ class IncrementalPipeline:
                     df_touched, name, sid, base, touched, input_snapshots=inputs
                 )
             else:
-                store.commit(build(), name, sid, input_snapshots=inputs, **self._bucket_args(name))
+                args = self._bucket_args(name)
+                if cow_n and name in VOCAB_BUCKET_KEYS:
+                    # a vocab table falling back to a full commit in an
+                    # otherwise-CoW run must keep the base's shared layout,
+                    # or the next delta's _cow_buckets would silently
+                    # disengage CoW for EVERY table
+                    args = {"bucket_keys": VOCAB_BUCKET_KEYS[name], "buckets": cow_n}
+                store.commit(build(), name, sid, input_snapshots=inputs, **args)
             executed.append(name)
             return store.read(name, sid)
 
@@ -373,6 +417,7 @@ class IncrementalPipeline:
         norm_turns, norm_meta, enriched0 = normalize.normalize_shared(
             new_transcripts, persist_enriched=True
         )
+        cow_cache.append(enriched0)
         g0 = _group(
             ("stage0_turns", lambda: norm_turns, {"transcripts": "delta"}),
             ("stage0_meta", lambda: norm_meta, {"transcripts": "delta"}),
@@ -388,6 +433,7 @@ class IncrementalPipeline:
         extracted = mentions.extract_people_combined(
             d_turns, d_meta, user_dict=self.user_dict, pre_partitioned=d_turns_bucketed
         ).persist()
+        cow_cache.append(extracted)
         ext_names, ext_aliases = mentions.split_extracted(extracted)
         g1 = _group(
             ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
@@ -427,7 +473,11 @@ class IncrementalPipeline:
             return bool(spec) and spec.get("num_buckets") == cow_n
 
         if cow_n:
-            delta_bits = mentions.registry_bits(d_names, d_aliases)
+            # persisted: the touched-ids collect AND the commit write both
+            # consume this delta-sized aggregate — without the persist the
+            # shuffle agg would run twice per ingestion
+            delta_bits = mentions.registry_bits(d_names, d_aliases).persist()
+            cow_cache.append(delta_bits)
             d_alias_rows = d_aliases.select("name", "alias_type", "alias")
 
             def _bits_cow():
@@ -573,6 +623,7 @@ class IncrementalPipeline:
             s2_turns, s2_meta, index,
             pre_partitioned=d_turns_bucketed and not any_rescan,
         ).persist()
+        cow_cache.append(fused)
         g2 = _group(
             (
                 "stage2_mentions",
@@ -619,48 +670,85 @@ class IncrementalPipeline:
             new_edges = canonicalize.alias_edges(d_aliases)
             return canonicalize.incremental_components(_prior_labels(), new_edges)
 
+        # mini/new_vertices of THIS run's label contraction — shared by
+        # the cc_members index commit; empty when cc_labels was resumed
+        # or fell back (the index then rebuilds full from labels@sid)
+        label_state: dict = {}
+
         if cow_n:
 
             def _labels_cow():
-                # CoW needs the base labels as hardlink parent AND as the
-                # file-pruned prior read — a derived bootstrap has neither
-                if not store.is_committed("cc_labels", base):
+                # CoW needs the base labels as hardlink parent AND
+                # file-pruned reads on BOTH access paths: by vertex
+                # (cc_labels) for the edge-endpoint mapping, by component
+                # (cc_members) for the merged-component member set — a
+                # derived bootstrap has neither
+                if not store.is_committed("cc_labels", base) or not store.is_committed(
+                    "cc_members", base
+                ):
                     return None
-                prior = _prior_labels()
+                edges = canonicalize.alias_edges(d_aliases).persist()
+                cow_cache.append(edges)
+                endpoints = edges.select(F.col("src").alias("vertex")).unionByName(
+                    edges.select(F.col("dst").alias("vertex"))
+                )
+                eb = self._touched_ids(endpoints, "vertex", cow_n)
+                # a bucket holds EVERY row whose key hashes to it, so the
+                # pruned read answers each endpoint lookup exactly as the
+                # full table would — no O(vocabulary) prior scan
                 mini, new_vertices = canonicalize.incremental_relabel(
-                    prior, canonicalize.alias_edges(d_aliases)
+                    store.read_buckets("cc_labels", base, eb), edges
                 )
                 mini, new_vertices = mini.persist(), new_vertices.persist()
                 cow_cache.extend([mini, new_vertices])
+                label_state.update(mini=mini, new_vertices=new_vertices)
                 # a prior vertex's label changes iff its component merged
-                # (appears in mini under a different label); mini is
-                # O(delta) → broadcast semijoin, prior never shuffles
-                merged_comps = F.broadcast(
-                    mini.filter(F.col("vertex") != F.col("component")).select(
-                        F.col("vertex").alias("_oc")
-                    )
+                # (appears in mini under a different label); its members
+                # come from the component-keyed index — O(delta) buckets
+                # read, never a vocabulary scan
+                merged = mini.filter(F.col("vertex") != F.col("component")).select(
+                    F.col("vertex").alias("component")
                 )
+                mb = self._touched_ids(merged, "component", cow_n)
                 changed = (
-                    prior.join(merged_comps, prior.component == F.col("_oc"), "leftsemi")
+                    store.read_buckets("cc_members", base, mb)
+                    .join(F.broadcast(merged), "component", "leftsemi")
                     .select("vertex")
                     .unionByName(new_vertices.select("vertex"))
                 )
                 t = self._touched_ids(changed, "vertex", cow_n)
-                relabel = F.broadcast(
-                    mini.select(F.col("vertex").alias("_mv"), F.col("component").alias("_mc"))
-                )
-                prior_touched = store.read_buckets("cc_labels", base, t)
-                rows = (
-                    prior_touched.join(
-                        relabel, prior_touched.component == F.col("_mv"), "left"
-                    )
-                    .select(
-                        "vertex",
-                        F.coalesce(F.col("_mc"), F.col("component")).alias("component"),
-                    )
-                    .unionByName(new_vertices)
-                )
+                # same relabel rule as the full path — shared helper, so the
+                # CoW-committed labels cannot diverge from incremental_components
+                rows = canonicalize.relabel_prior(
+                    store.read_buckets("cc_labels", base, t), mini
+                ).unionByName(new_vertices)
                 return t, rows
+
+            def _members_cow():
+                mini = label_state.get("mini")
+                if mini is None:
+                    return None
+                new_vertices = label_state["new_vertices"]
+                # touched member buckets: components on either side of the
+                # non-identity contraction map (rows leave the old label's
+                # bucket and land in the new label's) plus the new
+                # vertices' labels; identity-mapped components move nothing
+                moved = mini.filter(F.col("vertex") != F.col("component"))
+                comps = (
+                    moved.select(F.col("vertex").alias("component"))
+                    .unionByName(moved.select("component"))
+                    .unionByName(new_vertices.select("component"))
+                )
+                tm = self._touched_ids(comps, "component", cow_n)
+                # relabel_prior works unchanged here: it rewrites the
+                # `component` column and carries `vertex` through — exactly
+                # the member-row move between buckets
+                rows = canonicalize.relabel_prior(
+                    store.read_buckets("cc_members", base, tm), mini
+                ).select("component", "vertex").unionByName(
+                    new_vertices.select("component", "vertex")
+                )
+                return tm, rows
 
             def _entities_cow():
                 tb, tl = _committed_touched("registry_bits"), _committed_touched("cc_labels")
@@ -698,12 +786,18 @@ class IncrementalPipeline:
 
             cow_builders.update(
                 cc_labels=_labels_cow,
+                cc_members=_members_cow,
                 stage3_entities=_entities_cow,
                 nodes=_nodes_cow,
             )
 
         labels = _materialize(
             "cc_labels", _labels, {"stage1_alias_registry": sid}
+        )
+        _materialize(
+            "cc_members",
+            lambda: labels.select("component", "vertex"),
+            {"cc_labels": sid},
         )
         entities = _materialize(
             "stage3_entities",
@@ -726,9 +820,7 @@ class IncrementalPipeline:
             ),
         )
         nodes, edges, timeline = g4["nodes"], g4["edges"], g4["timeline"]
-        fused.unpersist()
-        for df in cow_cache:
-            df.unpersist()
+        # run()'s finally unpersists everything registered in cow_cache
 
         return PipelineResult(
             tables={

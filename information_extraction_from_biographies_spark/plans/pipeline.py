@@ -44,6 +44,7 @@ STAGES = [
     "stage2_triples",
     "stage2_timeline",
     "cc_labels",
+    "cc_members",
     "stage3_entities",
     "nodes",
     "edges",
@@ -59,13 +60,21 @@ STAGES = [
 # (people ⋈ labels on name==vertex, nodes' alias-attr aggregate, the
 # incremental path's per-delta rejoins) are co-located. Tables NOT listed
 # are never re-joined on a stable key (their bucketing would be a pure
-# extra write shuffle).
+# extra write shuffle). Exception to that criterion: ``nodes`` is never
+# re-joined downstream — it is listed so the copy-on-write vocabulary
+# commit can engage on it (VOCAB_BUCKET_KEYS below requires all six
+# tables at one shared layout); removing it here silently disables CoW
+# for every table.
 BUCKET_KEYS = {
     "stage0_turns": "conv_id",
     "registry_bits": "person",
     "stage1_people": "name",
     "stage1_alias_registry": "name",
     "cc_labels": "vertex",
+    # the component-keyed mirror of cc_labels: the inverted index that
+    # lets the CoW label commit find "all members of a merged component"
+    # with a file-pruned read instead of a vocabulary scan
+    "cc_members": "component",
     "stage3_entities": "name",
     "nodes": "name",
 }
@@ -77,8 +86,9 @@ BUCKET_KEYS = {
 # rewritten, untouched bucket files are hardlinked from the parent
 # (CheckpointStore.commit_partial). Every builder below is per-key-local
 # (bit_or per person, filter per person, union-distinct per name, label
-# per vertex, equi-join/aggregate on the bucket key), which is exactly the
-# property that makes bucket-granularity CoW compose.
+# per vertex, member list per component, equi-join/aggregate on the
+# bucket key), which is exactly the property that makes bucket-granularity
+# CoW compose.
 VOCAB_BUCKET_KEYS = {t: k for t, k in BUCKET_KEYS.items() if t != "stage0_turns"}
 
 
@@ -356,6 +366,14 @@ class Pipeline:
                 "nodes",
                 lambda: graph.nodes_table(people, alias_reg, entities),
                 {"stage3_entities": sid},
+            ),
+            # component-keyed mirror of cc_labels — maintained so the
+            # incremental CoW label commit can read "members of component
+            # X" as a pruned bucket read (plans/incremental._labels_cow)
+            (
+                "cc_members",
+                lambda: labels.select("component", "vertex"),
+                {"cc_labels": sid},
             ),
             ("edges", lambda: triple_rows, {"stage2_triples": sid}),
             (

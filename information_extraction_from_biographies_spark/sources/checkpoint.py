@@ -220,8 +220,16 @@ class CheckpointStore:
         write_bucketed(
             df_touched.repartition(n, *keys), cat, keys, n, path=path, mode="overwrite"
         )
+        # basenames the bucketed write just produced — everything else in
+        # the directory afterwards is a hardlink from the parent
+        fresh_names = {
+            e.name
+            for e in os.scandir(path)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        }
         touched = set(int(b) for b in touched_buckets)
         reused = 0
+        reused_names = set()
         for b, fs in self.bucket_files(table, parent_snapshot).items():
             if b in touched:
                 continue
@@ -241,23 +249,49 @@ class CheckpointStore:
                     except OSError:
                         shutil.copy2(crc, dcrc)
                 reused += 1
+                reused_names.add(os.path.basename(f))
         # the write registered + cached the table before the links landed
         self.spark.catalog.refreshTable(cat)
-        written = self.spark.table(cat)
-        per_file = (
-            written.groupBy(F.input_file_name().alias("partition_file"))
-            .count()
-            .collect()
-        )
+        # lineage reconciliation WITHOUT scanning the reused buckets: fresh
+        # files are counted with one O(touched) read; hardlinked files are
+        # byte-identical to the parent's, so their parent lineage rows are
+        # inherited verbatim (any basename the parent lineage lacks — it
+        # shouldn't — is counted directly as a fallback)
+        partitions = []
+        if fresh_names:
+            per_file = (
+                self.spark.read.parquet(*(os.path.join(path, f) for f in fresh_names))
+                .groupBy(F.input_file_name().alias("partition_file"))
+                .count()
+                .collect()
+            )
+            partitions += [
+                {
+                    "partition_file": os.path.basename(r["partition_file"]),
+                    "row_count": r["count"],
+                }
+                for r in per_file
+            ]
+        parent_rows = {
+            p["partition_file"]: p
+            for p in self.lineage(table, parent_snapshot).get("partitions", [])
+        }
+        for name in sorted(reused_names):
+            row = parent_rows.get(name)
+            if row is None:
+                row = {
+                    "partition_file": name,
+                    "row_count": self.spark.read.parquet(
+                        os.path.join(path, name)
+                    ).count(),
+                }
+            partitions.append(row)
         lineage = {
             "table": table,
             "snapshot_id": snapshot_id,
             "input_snapshots": input_snapshots or {},
-            "partitions": [
-                {"partition_file": os.path.basename(r["partition_file"]), "row_count": r["count"]}
-                for r in per_file
-            ],
-            "total_rows": int(sum(r["count"] for r in per_file)),
+            "partitions": partitions,
+            "total_rows": int(sum(p["row_count"] for p in partitions)),
             "metrics": dict(metrics or {}, wall_ms=int((time.monotonic() - t0) * 1000)),
             "bucketing": {
                 "keys": list(keys),

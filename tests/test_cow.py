@@ -160,6 +160,17 @@ def test_incremental_cow_matches_full_recompute_and_chains(spark, tmp_path):
     )
     _assert_equal_results(inc, full)
 
+    # the component-keyed index must stay an exact mirror of cc_labels at
+    # every chain point — it is what the CoW label commit prunes its
+    # merged-component member reads with; a drifted index would silently
+    # relabel the wrong buckets on the NEXT delta
+    for sid in ("s1", "s2", "s3"):
+        labels = _rows(
+            pipe3.store.read("cc_labels", sid).select("component", "vertex")
+        )
+        members = _rows(pipe3.store.read("cc_members", sid))
+        assert members == labels, f"cc_members@{sid} diverged from cc_labels"
+
 
 def test_incremental_cow_resume_skips_committed(spark, tmp_path):
     """A rerun over an already-committed CoW snapshot must skip every

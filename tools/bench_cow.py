@@ -113,10 +113,15 @@ def main() -> None:
             cow_fresh = full_total = 0
             for t in VOCAB_BUCKET_KEYS:
                 io = _snapshot_io(store, t, f"cw{d}", "base")
-                lin = store.lineage(t, f"cw{d}")
+                cow_lin = store.lineage(t, f"cw{d}").get("cow")
                 full_io = _snapshot_io(store, t, f"fl{d}", "base")
                 tables[t] = {
-                    "touched_buckets": len(lin["cow"]["touched_buckets"]),
+                    # None = CoW did not engage (full fallback commit) —
+                    # recorded rather than crashed so a buckets=0 run or a
+                    # per-table fallback still produces a usable record
+                    "touched_buckets": (
+                        len(cow_lin["touched_buckets"]) if cow_lin else None
+                    ),
                     "total_buckets": buckets,
                     **io,
                     "full_rewrite_bytes": full_io["total_bytes"],
@@ -128,7 +133,9 @@ def main() -> None:
                 "delta_convs": d,
                 "cow_delta_wall": round(cow_wall, 3),
                 "full_delta_wall": round(full_wall, 3),
-                "touched_buckets": sum(t["touched_buckets"] for t in tables.values()),
+                "touched_buckets": sum(
+                    t["touched_buckets"] or 0 for t in tables.values()
+                ),
                 "total_buckets": buckets * len(tables),
                 "vocab_fresh_bytes_cow": cow_fresh,
                 "vocab_bytes_full_rewrite": full_total,

@@ -794,16 +794,21 @@ class IncrementalPipeline:
         labels = _materialize(
             "cc_labels", _labels, {"stage1_alias_registry": sid}
         )
-        _materialize(
-            "cc_members",
-            lambda: labels.select("component", "vertex"),
-            {"cc_labels": sid},
+        # the member index and the entity table both depend only on the
+        # committed labels and not on each other — one concurrent level
+        g3 = _group(
+            (
+                "cc_members",
+                lambda: labels.select("component", "vertex"),
+                {"cc_labels": sid},
+            ),
+            (
+                "stage3_entities",
+                lambda: canonicalize.entity_table_from_labels(people, labels),
+                {"cc_labels": sid, "stage1_people": sid},
+            ),
         )
-        entities = _materialize(
-            "stage3_entities",
-            lambda: canonicalize.entity_table_from_labels(people, labels),
-            {"cc_labels": sid, "stage1_people": sid},
-        )
+        entities = g3["stage3_entities"]
 
         # ---- stage 4 ----------------------------------------------
         g4 = _group(

@@ -48,12 +48,16 @@ Scale posture (what is O(delta) vs O(vocabulary) vs O(history)):
   O(touched buckets) ≈ O(delta), not O(distinct persons); every builder
   is per-key-local, so each table's touched-bucket contents are computed
   from file-pruned reads of the SAME bucket ids upstream. With CoW
-  engaged there is no vocabulary-scale read OR write anywhere in the
-  delta path: the label commit resolves edge endpoints from pruned
-  cc_labels buckets and merged-component members from pruned cc_members
-  buckets (the inverted index exists precisely because `component` is
-  not cc_labels' bucket key). An unbucketed base (sandbox scale, where
-  auto-bucketing stays plain) keeps the full-rewrite path.
+  engaged the vocabulary-table MAINTENANCE path has no vocabulary-scale
+  read or write left: the label commit resolves edge endpoints from
+  pruned cc_labels buckets and merged-component members from pruned
+  cc_members buckets (the inverted index exists precisely because
+  `component` is not cc_labels' bucket key). The one remaining
+  vocabulary-scale read per delta is the stage-2 probe-dictionary build
+  (registry_surfaces over the full people/alias tables) — irreducible,
+  because delta conversations must be scanned against EVERY known
+  surface, not just the delta's. An unbucketed base (sandbox scale,
+  where auto-bucketing stays plain) keeps the full-rewrite path.
 
 Exactness: ``IncrementalPipeline.run`` over (base, delta) produces tables
 row-for-row equal to the batch ``Pipeline`` over base ∪ delta (pinned by

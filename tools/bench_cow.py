@@ -159,7 +159,9 @@ def main() -> None:
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 doc = json.load(f)
-        doc["cow"] = out
+        # default layout under "cow"; other bucket counts get their own
+        # section so sweeps at several B values coexist in the record
+        doc["cow" if buckets == 256 else f"cow_b{buckets}"] = out
         with open(path, "w", encoding="utf-8") as f:
             json.dump(doc, f, indent=1)
         print(f"wrote {path} (cow section)")

@@ -23,12 +23,20 @@ Scale posture (what is O(delta) vs O(vocabulary) vs O(history)):
   delta-sized; ``rescan_via_file=True`` swaps the collect for a parquet
   the workers read themselves, for deltas that change ≥10^7 surfaces)
   and matched against history with one shuffle-free
-  mapInPandas READ of the base turn table. O(history) in bytes read — the
-  irreducible cost of exactness — but no shuffle, no state, trivial CPU
-  (an Aho-Corasick pass over text already in the page cache / object
-  store). ``rescan="none"`` skips it for bounded-staleness ingestion
-  (historical mentions of newly-registered people appear at the next full
-  compaction), which is how a real deployment amortizes the read.
+  mapInPandas READ of the base turn table. O(history) in bytes read —
+  but no shuffle, no state, trivial CPU (an Aho-Corasick pass over text
+  already in the page cache / object store). ``rescan="indexed"``
+  removes even that read: the ``turn_grams`` posting index
+  (operators/postings.py — distinct unigram/bigram → conv_id, a
+  REPLACE-group corpus table maintained at O(delta chars) per delta,
+  bucketed on gram) yields a candidate-conversation SUPERSET from the
+  changed surfaces' least-frequent grams via file-pruned bucket reads,
+  and the same exact probe verifies candidates only — detection becomes
+  O(postings touched + candidate turns) with identical output (pinned
+  in tests/test_postings.py). ``rescan="none"`` skips detection for
+  bounded-staleness ingestion (historical mentions of newly-registered
+  people appear at the next full compaction), which is how a real
+  deployment amortizes even the index lookups.
 - entity canonicalization: ``incremental_components`` — components only
   merge under edge additions, so prior labels contract the old graph to
   one vertex per component and CC runs over the O(delta) new-edge graph;
@@ -80,7 +88,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..operators import canonicalize, graph, mentions, normalize, scan, stage2
+from ..operators import canonicalize, graph, mentions, normalize, postings, scan, stage2
 from ..sources.checkpoint import CheckpointStore
 from .pipeline import BUCKET_KEYS, VOCAB_BUCKET_KEYS, PipelineResult
 
@@ -92,7 +100,7 @@ from .pipeline import BUCKET_KEYS, VOCAB_BUCKET_KEYS, PipelineResult
 # - stage-2+ outputs depend on the global probe dictionary — the delta
 #   additionally holds rescanned historical conversations ("excluded_convs")
 REPLACE_TABLES = frozenset(
-    {"stage0_turns", "stage0_meta", "stage1_names", "stage1_aliases"}
+    {"stage0_turns", "stage0_meta", "turn_grams", "stage1_names", "stage1_aliases"}
 )
 RESCAN_TABLES = frozenset(
     {
@@ -137,6 +145,46 @@ def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame
     return base.join(
         F.broadcast(excluded), "conv_id", "left_anti"
     ).unionByName(delta)
+
+
+def full_view_buckets(
+    store: CheckpointStore,
+    table: str,
+    snapshot_id: str,
+    key: str,
+    num_buckets: int,
+    bucket_ids,
+) -> DataFrame:
+    """``full_view`` restricted to the named buckets of ``key``'s hash
+    layout at ``num_buckets`` — the file-pruned chained read. Every chain
+    member committed bucketed on (key, num_buckets) contributes only the
+    named buckets' files; an unbucketed or foreign-layout member (ids at
+    a different count would select the WRONG keys) degrades to its full
+    read for that level only. The result is therefore a SUPERSET of the
+    rows whose key hashes into ``bucket_ids`` (exact when every member is
+    aligned); callers must apply their exact key filter afterwards —
+    which they need anyway, since a bucket holds every key that shares
+    its hash."""
+    parent = snapshot_parent(store.warehouse, snapshot_id)
+    spec = store.bucketing_spec(table, snapshot_id)
+    aligned = (
+        bool(spec)
+        and spec.get("keys") == [key]
+        and spec.get("num_buckets") == num_buckets
+    )
+    level = (
+        store.read_buckets(table, snapshot_id, bucket_ids)
+        if aligned
+        else store.read(table, snapshot_id)
+    )
+    if parent is None or table not in CORPUS_TABLES:
+        return level
+    base = full_view_buckets(store, table, parent, key, num_buckets, bucket_ids)
+    excl_table = "replaced_convs" if table in REPLACE_TABLES else "excluded_convs"
+    excluded = store.read(excl_table, snapshot_id)
+    return base.join(
+        F.broadcast(excluded), "conv_id", "left_anti"
+    ).unionByName(level)
 
 
 def _changed_surface_convs(base_turns: DataFrame, index) -> DataFrame:
@@ -348,6 +396,34 @@ class IncrementalPipeline:
         )
         return sorted(int(r["b"]) for r in rows if r["b"] is not None)
 
+    def _chain_has(self, table: str, snapshot_id: str) -> bool:
+        """Is ``table`` committed at EVERY member of the snapshot chain?
+        (A chained read touches each level; one missing member — e.g. a
+        chain that predates the table — means the read cannot resolve.)"""
+        sid: str | None = snapshot_id
+        while sid is not None:
+            if not self.store.is_committed(table, sid):
+                return False
+            sid = snapshot_parent(self.warehouse, sid)
+        return True
+
+    def _turns_for(self, conv_set: DataFrame) -> DataFrame:
+        """Base turn rows of the given (small) conversation set,
+        file-pruned to their conv_id buckets when the base chain carries
+        the bucketed layout; the explicit semijoin keeps an unbucketed or
+        misaligned chain member correct (just unpruned)."""
+        store, base = self.store, self.base
+        spec = store.bucketing_spec("stage0_turns", base)
+        if spec and spec.get("keys") == ["conv_id"]:
+            n = spec["num_buckets"]
+            ids = self._touched_ids(conv_set, "conv_id", n)
+            src = full_view_buckets(
+                store, "stage0_turns", base, "conv_id", n, ids
+            )
+        else:
+            src = full_view(store, "stage0_turns", base)
+        return src.join(F.broadcast(conv_set), "conv_id", "leftsemi")
+
     # -- helpers -----------------------------------------------------
     def _write_meta(self, rescan_mode: str) -> None:
         p = _meta_path(self.warehouse, self.snapshot_id)
@@ -377,8 +453,10 @@ class IncrementalPipeline:
     def _run_impl(
         self, new_transcripts: DataFrame, rescan: str
     ) -> PipelineResult:
-        if rescan not in ("exact", "none"):
-            raise ValueError(f"rescan must be 'exact' or 'none', got {rescan!r}")
+        if rescan not in ("exact", "indexed", "none"):
+            raise ValueError(
+                f"rescan must be 'exact', 'indexed' or 'none', got {rescan!r}"
+            )
         self._resolve_buckets(new_transcripts)
         store, sid, base = self.store, self.snapshot_id, self.base
         executed: list[str] = []
@@ -442,6 +520,9 @@ class IncrementalPipeline:
         g1 = _group(
             ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
             ("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}),
+            # gram postings of the DELIVERED conversations only — the
+            # REPLACE-group delta of the rescan index (O(delta chars))
+            ("turn_grams", lambda: postings.conv_grams(d_turns), {"stage0_turns": sid}),
         )
         d_names, d_aliases = g1["stage1_names"], g1["stage1_aliases"]
         extracted.unpersist()
@@ -581,9 +662,27 @@ class IncrementalPipeline:
                 if not rows:
                     return delta_convs
                 probe_index = SurfaceIndexHandle(self.spark, rows)
-            affected = _changed_surface_convs(
-                full_view(store, "stage0_turns", base), probe_index
-            )
+            probe_turns = full_view(store, "stage0_turns", base)
+            if rescan == "indexed" and self._chain_has("turn_grams", base):
+                # candidate conversations from the gram posting index —
+                # the probe then verifies candidates ONLY, so detection
+                # reads O(postings + candidate turns), not O(history).
+                # The index yields a superset (operators/postings.py), so
+                # the output is identical to the full scan.
+                qg = postings.surface_query_grams(changed)
+                spec_g = store.bucketing_spec("turn_grams", base)
+                if spec_g and spec_g.get("keys") == ["gram"]:
+                    ng = spec_g["num_buckets"]
+                    gb = self._touched_ids(qg, "gram", ng)
+                    rows_g = full_view_buckets(
+                        store, "turn_grams", base, "gram", ng, gb
+                    )
+                else:
+                    rows_g = full_view(store, "turn_grams", base)
+                cand = postings.candidate_convs(rows_g, qg).persist()
+                cow_cache.append(cand)
+                probe_turns = self._turns_for(cand)
+            affected = _changed_surface_convs(probe_turns, probe_index)
             return affected.unionByName(delta_convs).distinct()
 
         excluded = _materialize(
@@ -601,9 +700,10 @@ class IncrementalPipeline:
         # gate them on one cheap probe of the tiny committed table
         any_rescan = rescan != "none" and bool(rescanned.limit(1).count())
         if any_rescan:
-            base_turns_re = full_view(store, "stage0_turns", base).join(
-                F.broadcast(rescanned), "conv_id", "leftsemi"
-            )
+            # file-pruned to the rescanned conversations' buckets when the
+            # base chain carries the conv_id layout — the rescan re-read
+            # is O(rescanned), not a second O(history) pass
+            base_turns_re = self._turns_for(rescanned)
             base_meta_re = full_view(store, "stage0_meta", base).join(
                 F.broadcast(rescanned), "conv_id", "leftsemi"
             )

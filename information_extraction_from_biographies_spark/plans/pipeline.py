@@ -26,6 +26,7 @@ from ..operators import (
     graph,
     mentions,
     normalize,
+    postings,
     scan,
     stage2,
     triples,
@@ -35,6 +36,7 @@ from ..sources.checkpoint import CheckpointStore
 STAGES = [
     "stage0_turns",
     "stage0_meta",
+    "turn_grams",
     "stage1_names",
     "stage1_aliases",
     "registry_bits",
@@ -67,6 +69,9 @@ STAGES = [
 # for every table.
 BUCKET_KEYS = {
     "stage0_turns": "conv_id",
+    # gram posting index (operators/postings.py): bucketed on gram so a
+    # changed-surface rescan reads only the queried grams' buckets
+    "turn_grams": "gram",
     "registry_bits": "person",
     "stage1_people": "name",
     "stage1_alias_registry": "name",
@@ -89,7 +94,14 @@ BUCKET_KEYS = {
 # per vertex, member list per component, equi-join/aggregate on the
 # bucket key), which is exactly the property that makes bucket-granularity
 # CoW compose.
-VOCAB_BUCKET_KEYS = {t: k for t, k in BUCKET_KEYS.items() if t != "stage0_turns"}
+VOCAB_BUCKET_KEYS = {
+    t: k
+    for t, k in BUCKET_KEYS.items()
+    # stage0_turns and turn_grams are CORPUS-scale (rows grow with turns,
+    # not distinct persons) — they are delta-committed on the snapshot
+    # chain, never CoW-merged
+    if t not in ("stage0_turns", "turn_grams")
+}
 
 
 def materialize_group(materialize, specs, serial: bool = False) -> dict:
@@ -275,6 +287,10 @@ class Pipeline:
         g1 = _group(
             ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
             ("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}),
+            # gram posting index for the incremental changed-surface
+            # rescan (operators/postings.py) — independent of extraction,
+            # committed in the same concurrent level
+            ("turn_grams", lambda: postings.conv_grams(turns), {"stage0_turns": sid}),
         )
         conv_names, conv_aliases = g1["stage1_names"], g1["stage1_aliases"]
         extracted.unpersist()

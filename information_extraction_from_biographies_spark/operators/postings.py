@@ -29,7 +29,15 @@ Scale posture: the index is corpus-scale in rows (O(total distinct
 ``cc_members`` — but per-delta MAINTENANCE is O(delta chars) (grams of
 delivered conversations only) and per-delta QUERY is O(changed-surface
 grams × their posting lists) after bucket pruning, independent of
-history size.
+history size. Measured raw at 24k convs, the index was 7× the turn
+table's parquet bytes because Zipf's head (grams in nearly every
+conversation) contributes most rows while pruning nothing — so builds
+apply a max-df STOP-GRAM cap (``hot_grams``): hot grams are dropped
+from the index and recorded in a small ``gram_stops`` table; the query
+side treats stopped grams as unusable (not absent) and falls back to
+the full scan for any surface whose every gram is stopped
+(``unprunable_surfaces``) — the standard stop-word posting design,
+still exact end-to-end (tests/test_postings.py).
 
 Reference anchor: the reference has no incremental mode at all (it
 recomputes — SURVEY.md §7); this is the standard n-gram posting design
@@ -70,6 +78,44 @@ def conv_grams(turns: DataFrame) -> DataFrame:
     )
 
 
+def hot_grams(raw_postings: DataFrame, max_df: int) -> DataFrame:
+    """Grams whose document frequency exceeds ``max_df`` → (gram).
+
+    The stop-gram cap: Zipf's head — grams present in most conversations
+    — contributes most posting ROWS while carrying no pruning power (a
+    near-universal gram's posting list IS the corpus). Dropping them
+    shrinks the index several-fold; exactness is preserved because the
+    query side treats a STOPPED gram as *unusable* (unknown membership),
+    never as *absent* (see ``usable_query_grams`` — a surface whose every
+    gram is stopped falls back to the full scan).
+
+    The result is vocabulary-bounded (≤ alphabet² distinct bigrams, and
+    only the ones hotter than the cap), not corpus-bounded — broadcastable
+    by construction."""
+    return (
+        raw_postings.groupBy("gram")
+        .count()
+        .filter(F.col("count") > max_df)
+        .select("gram")
+    )
+
+
+def apply_stops(postings_or_query: DataFrame, stops: DataFrame) -> DataFrame:
+    """Drop rows whose ``gram`` is in the stoplist (broadcast anti-join —
+    the stoplist is vocabulary-bounded, the left side is not)."""
+    return postings_or_query.join(F.broadcast(stops), "gram", "left_anti")
+
+
+def unprunable_surfaces(query_grams: DataFrame, stops: DataFrame) -> DataFrame:
+    """Surfaces whose EVERY query gram is stopped → (surface). For these
+    the index holds no information — membership of a stopped gram is
+    unknown, not false — so the caller must fall back to the full scan
+    (exactness keystone of the stop-gram cap)."""
+    all_s = query_grams.select("surface").distinct()
+    usable_s = apply_stops(query_grams, stops).select("surface").distinct()
+    return all_s.join(usable_s, "surface", "left_anti")
+
+
 def surface_query_grams(surfaces: DataFrame) -> DataFrame:
     """(surface, gram) — the grams a changed surface queries the index
     with: its bigrams when |s| ≥ 2 (strictly more selective than its
@@ -95,7 +141,13 @@ def candidate_convs(postings: DataFrame, query_grams: DataFrame) -> DataFrame:
 
     ``postings`` may be any superset slice of the index restricted to at
     least the queried grams' buckets — an explicit semijoin here makes
-    over-wide slices (unbucketed fallbacks) correct, just slower."""
+    over-wide slices (unbucketed fallbacks) correct, just slower.
+
+    When the index was built with a stop-gram cap (``hot_grams``), the
+    caller MUST pass only usable query grams (``apply_stops``) and
+    full-scan any ``unprunable_surfaces`` separately: a stopped gram has
+    no posting rows, and this function reads df = 0 as "cannot match
+    anywhere" — true only for genuinely absent grams."""
     q = query_grams.distinct()
     touched = postings.join(
         F.broadcast(q.select("gram").distinct()), "gram", "leftsemi"

@@ -187,6 +187,39 @@ def full_view_buckets(
     ).unionByName(level)
 
 
+def chain_has(store: CheckpointStore, table: str, snapshot_id: str) -> bool:
+    """Is ``table`` committed at EVERY member of the snapshot chain?
+    (A chained read touches each level; one missing member — e.g. a
+    chain that predates the table — means the read cannot resolve.)"""
+    sid: str | None = snapshot_id
+    while sid is not None:
+        if not store.is_committed(table, sid):
+            return False
+        sid = snapshot_parent(store.warehouse, sid)
+    return True
+
+
+def full_view_stops(store: CheckpointStore, snapshot_id: str) -> DataFrame:
+    """Union of the ``gram_stops`` stoplists committed anywhere on the
+    chain. Stops are STICKY (union, no replacement): a gram stopped at
+    any level stays unusable for pruning — conservative and exact, since
+    stopping only ever widens the fallback set. Deltas commit no stops;
+    base builds and compactions derive them, so this is usually one
+    small table."""
+    levels = []
+    sid: str | None = snapshot_id
+    while sid is not None:
+        if store.is_committed("gram_stops", sid):
+            levels.append(store.read("gram_stops", sid))
+        sid = snapshot_parent(store.warehouse, sid)
+    if not levels:
+        return store.spark.createDataFrame([], "gram string")
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.distinct()
+
+
 def _changed_surface_convs(base_turns: DataFrame, index) -> DataFrame:
     """conv_ids of historical conversations whose text contains ANY changed
     probe surface → (conv_id). Shuffle-free scan: surfaces never contain
@@ -256,7 +289,17 @@ def compact_snapshot(
             default=0,
         )
     done = []
+    # The gram index is REBUILT from the compacted turns, not copied:
+    # the chained turn_grams view is stop-filtered, so a copy would have
+    # to keep the sticky stoplist forever — re-deriving document
+    # frequencies over the full corpus (compaction is already an
+    # O(corpus) rewrite) refreshes the stop set instead, healing both
+    # grams that became hot since the base build and stops inherited
+    # from smaller corpora.
+    rebuild_index = chain_has(store, "turn_grams", snapshot_id)
     for t in tables:
+        if t in ("turn_grams", "gram_stops"):
+            continue
         if not store.is_committed(t, snapshot_id):
             continue
         view = full_view(store, t, snapshot_id)
@@ -274,6 +317,104 @@ def compact_snapshot(
             **bucket_args,
         )
         done.append(t)
+    if rebuild_index:
+        done += build_gram_index(
+            store,
+            new_snapshot,
+            turns=store.read("stage0_turns", new_snapshot),
+            n_convs=store.lineage("stage0_meta", new_snapshot)["total_rows"],
+            buckets=(
+                buckets
+                if buckets is not None
+                else auto_bucket_count(full_view(store, "turn_grams", snapshot_id))
+            ),
+        )
+    return done
+
+
+def build_gram_index(
+    store: CheckpointStore,
+    snapshot_id: str,
+    turns: DataFrame,
+    n_convs: int,
+    buckets: int = 0,
+    max_df: int | None = None,
+) -> list[str]:
+    """Commit the ``gram_stops`` + ``turn_grams`` pair for one snapshot
+    level from its turn rows (operators/postings.py). Stoplist first —
+    a turn_grams-without-stops level would read stopped grams as absent.
+    ``max_df`` None → max(200, 5% of ``n_convs``), the Pipeline default."""
+    raw = postings.conv_grams(turns).persist()
+    if max_df is None:
+        max_df = max(200, int(0.05 * n_convs))
+    store.commit(
+        postings.hot_grams(raw, max_df),
+        "gram_stops",
+        snapshot_id,
+        input_snapshots={"stage0_turns": snapshot_id},
+    )
+    kept = postings.apply_stops(raw, store.read("gram_stops", snapshot_id))
+    args = {"bucket_keys": "gram", "buckets": buckets} if buckets else {}
+    store.commit(
+        kept,
+        "turn_grams",
+        snapshot_id,
+        input_snapshots={"stage0_turns": snapshot_id, "gram_stops": snapshot_id},
+        **args,
+    )
+    raw.unpersist()
+    return ["gram_stops", "turn_grams"]
+
+
+def ensure_gram_index(
+    store: CheckpointStore,
+    tip: str,
+    buckets: int = 0,
+    max_df: int | None = None,
+) -> list[str]:
+    """Backfill the gram posting index onto a chain built without it
+    (``Pipeline(gram_index=False)`` or pre-index snapshots), so
+    ``rescan="indexed"`` can engage. Missing levels get their postings
+    from their OWN committed stage0_turns delta; the stoplist is derived
+    once over the full turn view at ``tip`` and committed at the oldest
+    missing level (stops are sticky — ``full_view_stops`` unions the
+    chain). One O(history chars) pass — the same cost class as a single
+    exact rescan, amortized over every future indexed delta. Returns
+    ``level:table`` strings for the commits made."""
+    levels: list[str] = []
+    sid: str | None = tip
+    while sid is not None:
+        levels.append(sid)
+        sid = snapshot_parent(store.warehouse, sid)
+    missing = [s for s in levels if not store.is_committed("turn_grams", s)]
+    if not missing:
+        return []
+    done = []
+    if not any(store.is_committed("gram_stops", s) for s in levels):
+        if max_df is None:
+            n_convs = full_view(store, "stage0_meta", tip).count()
+            max_df = max(200, int(0.05 * n_convs))
+        raw_all = postings.conv_grams(full_view(store, "stage0_turns", tip))
+        oldest_missing = missing[-1]
+        store.commit(
+            postings.hot_grams(raw_all, max_df),
+            "gram_stops",
+            oldest_missing,
+            input_snapshots={"stage0_turns": tip},
+        )
+        done.append(f"{oldest_missing}:gram_stops")
+    stops = full_view_stops(store, tip)
+    args = {"bucket_keys": "gram", "buckets": buckets} if buckets else {}
+    for s in missing:
+        lvl_turns = store.read("stage0_turns", s)
+        store.commit(
+            postings.apply_stops(postings.conv_grams(lvl_turns), stops),
+            "turn_grams",
+            s,
+            input_snapshots={"stage0_turns": s},
+            **args,
+        )
+        done.append(f"{s}:turn_grams")
     return done
 
 
@@ -397,15 +538,7 @@ class IncrementalPipeline:
         return sorted(int(r["b"]) for r in rows if r["b"] is not None)
 
     def _chain_has(self, table: str, snapshot_id: str) -> bool:
-        """Is ``table`` committed at EVERY member of the snapshot chain?
-        (A chained read touches each level; one missing member — e.g. a
-        chain that predates the table — means the read cannot resolve.)"""
-        sid: str | None = snapshot_id
-        while sid is not None:
-            if not self.store.is_committed(table, sid):
-                return False
-            sid = snapshot_parent(self.warehouse, sid)
-        return True
+        return chain_has(self.store, table, snapshot_id)
 
     def _turns_for(self, conv_set: DataFrame) -> DataFrame:
         """Base turn rows of the given (small) conversation set,
@@ -517,13 +650,28 @@ class IncrementalPipeline:
         ).persist()
         cow_cache.append(extracted)
         ext_names, ext_aliases = mentions.split_extracted(extracted)
-        g1 = _group(
+        g1_specs = [
             ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
             ("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}),
+        ]
+        if chain_has(store, "turn_grams", base):
             # gram postings of the DELIVERED conversations only — the
-            # REPLACE-group delta of the rescan index (O(delta chars))
-            ("turn_grams", lambda: postings.conv_grams(d_turns), {"stage0_turns": sid}),
-        )
+            # REPLACE-group delta of the rescan index (O(delta chars)),
+            # maintained only when the base chain carries the index
+            # (Pipeline(gram_index=...)); the base chain's stoplist
+            # applies (deltas never add stops — stops are re-derived at
+            # compaction, see compact_snapshot)
+            g1_specs.append(
+                (
+                    "turn_grams",
+                    lambda: postings.apply_stops(
+                        postings.conv_grams(d_turns),
+                        full_view_stops(store, base),
+                    ),
+                    {"stage0_turns": sid},
+                )
+            )
+        g1 = _group(*g1_specs)
         d_names, d_aliases = g1["stage1_names"], g1["stage1_aliases"]
         extracted.unpersist()
 
@@ -663,25 +811,39 @@ class IncrementalPipeline:
                     return delta_convs
                 probe_index = SurfaceIndexHandle(self.spark, rows)
             probe_turns = full_view(store, "stage0_turns", base)
-            if rescan == "indexed" and self._chain_has("turn_grams", base):
+            if rescan == "indexed" and chain_has(store, "turn_grams", base):
                 # candidate conversations from the gram posting index —
                 # the probe then verifies candidates ONLY, so detection
                 # reads O(postings + candidate turns), not O(history).
                 # The index yields a superset (operators/postings.py), so
-                # the output is identical to the full scan.
-                qg = postings.surface_query_grams(changed)
-                spec_g = store.bucketing_spec("turn_grams", base)
-                if spec_g and spec_g.get("keys") == ["gram"]:
-                    ng = spec_g["num_buckets"]
-                    gb = self._touched_ids(qg, "gram", ng)
-                    rows_g = full_view_buckets(
-                        store, "turn_grams", base, "gram", ng, gb
+                # the output is identical to the full scan. Stopped grams
+                # (the max-df cap) are unusable, not absent: a surface
+                # whose EVERY gram is stopped keeps the full probe scan —
+                # the exactness escape hatch of the stop-gram design.
+                stops = full_view_stops(store, base)
+                qg = postings.apply_stops(
+                    postings.surface_query_grams(changed), stops
+                )
+                all_stopped = bool(
+                    postings.unprunable_surfaces(
+                        postings.surface_query_grams(changed), stops
                     )
-                else:
-                    rows_g = full_view(store, "turn_grams", base)
-                cand = postings.candidate_convs(rows_g, qg).persist()
-                cow_cache.append(cand)
-                probe_turns = self._turns_for(cand)
+                    .limit(1)
+                    .count()
+                )
+                if not all_stopped:
+                    spec_g = store.bucketing_spec("turn_grams", base)
+                    if spec_g and spec_g.get("keys") == ["gram"]:
+                        ng = spec_g["num_buckets"]
+                        gb = self._touched_ids(qg, "gram", ng)
+                        rows_g = full_view_buckets(
+                            store, "turn_grams", base, "gram", ng, gb
+                        )
+                    else:
+                        rows_g = full_view(store, "turn_grams", base)
+                    cand = postings.candidate_convs(rows_g, qg).persist()
+                    cow_cache.append(cand)
+                    probe_turns = self._turns_for(cand)
             affected = _changed_surface_convs(probe_turns, probe_index)
             return affected.unionByName(delta_convs).distinct()
 

@@ -36,6 +36,7 @@ from ..sources.checkpoint import CheckpointStore
 STAGES = [
     "stage0_turns",
     "stage0_meta",
+    "gram_stops",
     "turn_grams",
     "stage1_names",
     "stage1_aliases",
@@ -175,6 +176,8 @@ class Pipeline:
         user_dict=None,
         registry_via_file: bool = False,
         buckets: int | None = None,
+        gram_index: bool = True,
+        gram_max_df: int | None = None,
     ) -> None:
         """``user_dict``: iterable of known person names for the N1
         dictionary-segmentation channel (the jieba user dicts of
@@ -189,7 +192,18 @@ class Pipeline:
         (0 disables bucketing and commits plain parquet; None → sized
         automatically from the input's on-disk bytes at run() —
         ``auto_bucket_count``: plain under 1 GiB, one bucket per ~128 MB
-        above, same count on every co-joined table)."""
+        above, same count on every co-joined table).
+
+        ``gram_index``: commit the ``turn_grams`` posting index (+ its
+        ``gram_stops`` stoplist) that makes IncrementalPipeline's
+        ``rescan="indexed"`` detection O(postings) instead of O(history).
+        Costs one extra O(corpus chars) pass + commit; False skips it
+        (batch-only workloads) — indexed rescans over such a base degrade
+        to the exact full scan, or backfill later with
+        ``plans.incremental.ensure_gram_index``.
+
+        ``gram_max_df``: stop-gram document-frequency cap (operators/
+        postings.hot_grams). None → auto: max(200, 5% of conversations)."""
         self.spark = spark
         self.store = CheckpointStore(spark, warehouse)
         self.warehouse = warehouse
@@ -198,6 +212,8 @@ class Pipeline:
         self.user_dict = user_dict
         self.registry_via_file = registry_via_file
         self.buckets = buckets
+        self.gram_index = gram_index
+        self.gram_max_df = gram_max_df
         if buckets is not None and buckets > 0:
             self._pin_bucketed_scan_conf()
 
@@ -284,16 +300,39 @@ class Pipeline:
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
 
-        g1 = _group(
+        g1_specs = [
             ("stage1_names", lambda: ext_names, {"stage0_turns": sid}),
             ("stage1_aliases", lambda: ext_aliases, {"stage0_turns": sid}),
+        ]
+        raw_grams = None
+        if self.gram_index:
             # gram posting index for the incremental changed-surface
-            # rescan (operators/postings.py) — independent of extraction,
-            # committed in the same concurrent level
-            ("turn_grams", lambda: postings.conv_grams(turns), {"stage0_turns": sid}),
-        )
+            # rescan (operators/postings.py). The stoplist commit comes
+            # FIRST (resume over a turn_grams-without-stops snapshot
+            # would read stopped grams as absent → false negatives);
+            # the max-df cap auto-sizes from the committed conv count.
+            raw_grams = postings.conv_grams(turns).persist()
+            max_df = self.gram_max_df
+            if max_df is None:
+                n_convs = self.store.lineage("stage0_meta", sid)["total_rows"]
+                max_df = max(200, int(0.05 * n_convs))
+            stops = _materialize(
+                "gram_stops",
+                lambda: postings.hot_grams(raw_grams, max_df),
+                {"stage0_turns": sid},
+            )
+            g1_specs.append(
+                (
+                    "turn_grams",
+                    lambda: postings.apply_stops(raw_grams, stops),
+                    {"stage0_turns": sid, "gram_stops": sid},
+                )
+            )
+        g1 = _group(*g1_specs)
         conv_names, conv_aliases = g1["stage1_names"], g1["stage1_aliases"]
         extracted.unpersist()
+        if raw_grams is not None:
+            raw_grams.unpersist()
 
         # the (person, bits) flag table is committed as its own stage: it is
         # the vocabulary-scale state that lets IncrementalPipeline merge the

@@ -75,6 +75,121 @@ def test_candidate_convs_min_df_and_absent_grams(spark):
     assert cands("y") == {"c3"}
 
 
+def test_stop_gram_split_and_unprunable(spark):
+    """hot_grams drops exactly the over-cap grams; apply_stops filters
+    both index and query sides; a surface whose every gram is stopped is
+    flagged unprunable (the full-scan fallback trigger)."""
+    turns = spark.createDataFrame(
+        [("c1", "abx"), ("c2", "aby"), ("c3", "abz"), ("c4", "qq")],
+        "conv_id string, norm_text string",
+    )
+    raw = postings.conv_grams(turns)
+    stops = postings.hot_grams(raw, max_df=2)  # a, b, ab are in 3 convs
+    assert {r["gram"] for r in stops.collect()} == {"a", "b", "ab"}
+    kept = postings.apply_stops(raw, stops)
+    assert {r["gram"] for r in kept.collect()} & {"a", "b", "ab"} == set()
+
+    surf = spark.createDataFrame(
+        [("ab",), ("abx",), ("qq",)], "surface string"
+    )
+    qg = postings.surface_query_grams(surf)
+    unpr = {r["surface"] for r in postings.unprunable_surfaces(qg, stops).collect()}
+    assert unpr == {"ab"}  # its only gram is stopped
+    usable = postings.apply_stops(qg, stops)
+    # 'abx' still prunable via its unstopped gram 'bx'
+    cands = {
+        r["conv_id"]
+        for r in postings.candidate_convs(kept, usable).collect()
+    }
+    assert cands == {"c1", "c4"}
+
+
+def test_indexed_exact_when_everything_stopped(spark, tmp_path):
+    """Adversarial cap: gram_max_df=0 stops EVERY gram — the index holds
+    nothing, every changed surface is unprunable, and detection must
+    fall back to the full scan and still match the exact run table-for-
+    table (the exactness keystone of the stop-gram design)."""
+    fixture = fx.make_fixture(n_convs=16, seed=13)
+    base_t, delta_t = _split_convs(spark, fixture, 11)
+    wh = str(tmp_path / "wh")
+    pipe = Pipeline(spark, wh, snapshot_id="s1", gram_max_df=0)
+    pipe.run(base_t)
+    assert pipe.store.read("turn_grams", "s1").count() == 0
+    assert pipe.store.read("gram_stops", "s1").count() > 0
+    inc = IncrementalPipeline(spark, wh, "s1", "s2").run(delta_t, rescan="indexed")
+    full = Pipeline(spark, str(tmp_path / "f"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(inc, full)
+
+
+def test_ensure_gram_index_backfill(spark, tmp_path):
+    """A chain built WITHOUT the index (gram_index=False) gets it
+    backfilled level-by-level; a subsequent indexed delta engages the
+    index (no fallback) and matches the batch recompute."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        chain_has,
+        ensure_gram_index,
+    )
+
+    fixture = fx.make_fixture(n_convs=18, seed=17)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    ids = [r["conv_id"] for r in sdf.select("conv_id").distinct().orderBy("conv_id").collect()]
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh, snapshot_id="s1", gram_index=False)
+    p.run(sdf.filter(F.col("conv_id").isin(ids[:9])))
+    IncrementalPipeline(spark, wh, "s1", "s2").run(
+        sdf.filter(F.col("conv_id").isin(ids[9:13])), rescan="exact"
+    )
+    store = p.store
+    assert not chain_has(store, "turn_grams", "s2")
+    done = ensure_gram_index(store, "s2")
+    assert {d.split(":")[1] for d in done} == {"gram_stops", "turn_grams"}
+    assert chain_has(store, "turn_grams", "s2")
+    # idempotent
+    assert ensure_gram_index(store, "s2") == []
+    inc = IncrementalPipeline(spark, wh, "s2", "s3").run(
+        sdf.filter(F.col("conv_id").isin(ids[13:])), rescan="indexed"
+    )
+    full = Pipeline(spark, str(tmp_path / "f"), snapshot_id="f1").run(sdf)
+    _assert_equal_results(inc, full)
+
+
+def test_compact_rebuilds_index(spark, tmp_path):
+    """compact_snapshot re-derives gram_stops + turn_grams from the
+    compacted turns (not a copy of the stop-filtered chain view); an
+    indexed delta over the compacted base matches the batch recompute."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        compact_snapshot,
+        full_view_stops,
+    )
+
+    fixture = fx.make_fixture(n_convs=18, seed=19)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    ids = [r["conv_id"] for r in sdf.select("conv_id").distinct().orderBy("conv_id").collect()]
+    wh = str(tmp_path / "wh")
+    # tiny cap at the base → real stops exist on the chain
+    p = Pipeline(spark, wh, snapshot_id="s1", gram_max_df=3)
+    p.run(sdf.filter(F.col("conv_id").isin(ids[:9])))
+    store = p.store
+    assert store.read("gram_stops", "s1").count() > 0
+    IncrementalPipeline(spark, wh, "s1", "s2").run(
+        sdf.filter(F.col("conv_id").isin(ids[9:13])), rescan="indexed"
+    )
+    compact_snapshot(store, "s2", "c1")
+    assert store.is_committed("turn_grams", "c1")
+    assert store.is_committed("gram_stops", "c1")
+    # the rebuilt stoplist is derived at the DEFAULT cap over 13 convs —
+    # max(200, ...) exceeds any df here, so the inherited tiny-cap stops
+    # are healed away
+    assert full_view_stops(store, "c1").count() == 0
+    inc = IncrementalPipeline(spark, wh, "c1", "s3").run(
+        sdf.filter(F.col("conv_id").isin(ids[13:])), rescan="indexed"
+    )
+    full = Pipeline(spark, str(tmp_path / "f"), snapshot_id="f1").run(sdf)
+    _assert_equal_results(inc, full)
+
+
 def test_indexed_rescan_matches_exact(spark, tmp_path):
     """indexed == exact on the committed excluded set AND every output
     table, against a bucketed base (pruned postings + turn reads) and a

@@ -100,6 +100,11 @@ def main() -> None:
             "turns_bytes": _dir_bytes(
                 store._snapshot_dir("stage0_turns", "base")
             ),
+            # stop-gram cap (operators/postings.hot_grams): hot grams
+            # carry most posting rows and no pruning power — the raw
+            # (uncapped) index measured 7x the turn table's bytes
+            "stopped_grams": store.lineage("gram_stops", "base")["total_rows"],
+            "kept_posting_rows": store.lineage("turn_grams", "base")["total_rows"],
         }
         print(json.dumps(out), flush=True)
         path = os.path.join(REPO, "BENCH", "incremental.json")

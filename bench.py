@@ -210,9 +210,15 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
     spark.catalog.clearCache()
     max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "1.0"))
     trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
+    # gram_index=False throughout: this bench's posture is rescan="none"
+    # (bounded-staleness ingestion — changed surfaces heal at compaction),
+    # where the rescan posting index is never queried; a deployment on
+    # that posture would not build it. The indexed-rescan economics are
+    # recorded separately (tools/bench_rescan.py → BENCH/incremental.json
+    # `rescan_index`).
     try:
         t0 = time.monotonic()
-        Pipeline(spark, wh, snapshot_id="base").run(base_t)
+        Pipeline(spark, wh, snapshot_id="base", gram_index=False).run(base_t)
         base_wall = time.monotonic() - t0
         # delta trials share the bootstrap: each applies the same delta to
         # the same base under a fresh snapshot id; best steal-clean wall
@@ -244,7 +250,7 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
         # batch path more than the delta path made base/delta drift below
         # 1.0 even as both improved.
         t0 = time.monotonic()
-        Pipeline(spark, wh, snapshot_id="rebuild").run(tdf)
+        Pipeline(spark, wh, snapshot_id="rebuild", gram_index=False).run(tdf)
         rebuild_wall = time.monotonic() - t0
         delta_turns = delta_t.count()
         base_convs = base_t.select("conv_id").distinct().count()

@@ -67,7 +67,8 @@ def main() -> None:
     from pyspark.sql import functions as F  # noqa: N812
 
     base_ids = set(conv_ids[:base_n])
-    Pipeline(spark, wh, snapshot_id="v0").run(
+    # gram_index=False: rescan="none" posture never queries the rescan index
+    Pipeline(spark, wh, snapshot_id="v0", gram_index=False).run(
         tdf.filter(F.col("conv_id").isin(list(base_ids)))
     )
     build_t0 = time.monotonic()

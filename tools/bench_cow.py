@@ -89,7 +89,8 @@ def main() -> None:
 
     wh = tempfile.mkdtemp(prefix="kg_cow_")
     try:
-        Pipeline(spark, wh, snapshot_id="base", buckets=buckets).run(base_t)
+        # gram_index=False: rescan="none" posture never queries the rescan index
+        Pipeline(spark, wh, snapshot_id="base", buckets=buckets, gram_index=False).run(base_t)
         store = CheckpointStore(spark, wh)
 
         runs = []

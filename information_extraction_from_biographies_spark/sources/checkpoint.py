@@ -36,6 +36,49 @@ from pyspark.sql import functions as F  # noqa: N812
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
 
 
+def _footer_counts(path: str, names=None) -> list[dict]:
+    """Per-file row counts read from the parquet FOOTERS — the write-stats
+    lookup Iceberg serves from its manifests. O(files) driver-side metadata
+    reads (a footer is a few KB at the file tail): no Spark job, no data
+    scan. Replacing the old ``groupBy(input_file_name()).count()``
+    read-back removed one full-table scan per stage commit — at N tables
+    per pipeline run that read-back was the largest fixed per-commit cost
+    and re-read every committed byte once.
+
+    Zero-row files are omitted to match the shape the read-back produced
+    (an empty file contributes no group); sums are unaffected. ``names``
+    restricts the read to specific basenames (CoW fresh-file accounting).
+    """
+    import pyarrow.parquet as pq
+
+    if names is None:
+        if not os.path.isdir(path):
+            return []
+        names = [
+            e.name
+            for e in os.scandir(path)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        ]
+    names = sorted(names)
+
+    def one(n: str) -> dict:
+        return {
+            "partition_file": n,
+            "row_count": int(pq.ParquetFile(os.path.join(path, n)).metadata.num_rows),
+        }
+
+    if len(names) > 16:
+        # object stores / many-bucket commits: overlap the footer round
+        # trips; each read is tiny and releases the GIL in Arrow IO
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(names))) as ex:
+            rows = list(ex.map(one, names))
+    else:
+        rows = [one(n) for n in names]
+    return [r for r in rows if r["row_count"] > 0]
+
+
 class CheckpointStore:
     def __init__(self, spark: SparkSession, warehouse: str) -> None:
         self.spark = spark
@@ -103,28 +146,17 @@ class CheckpointStore:
             )
         else:
             df.write.mode("overwrite").parquet(path)
-        # per-partition lineage: one row per output file with its row count.
-        # Bucketed snapshots read back through the catalog: a bucketed
-        # write of an EMPTY frame produces zero data files, which a raw
-        # parquet read cannot even infer a schema from.
-        if bucket_keys is not None and buckets > 0:
-            written = self.spark.table(self._catalog_name(table, snapshot_id))
-        else:
-            written = self.spark.read.parquet(path)
-        per_file = (
-            written.groupBy(F.input_file_name().alias("partition_file"))
-            .count()
-            .collect()
-        )
+        # per-partition lineage: one row per output file with its row
+        # count, read from the parquet footers the write just produced —
+        # no read-back scan (see _footer_counts). Handles the empty
+        # bucketed snapshot (zero data files) for free.
+        per_file = _footer_counts(path)
         lineage = {
             "table": table,
             "snapshot_id": snapshot_id,
             "input_snapshots": input_snapshots or {},
-            "partitions": [
-                {"partition_file": os.path.basename(r["partition_file"]), "row_count": r["count"]}
-                for r in per_file
-            ],
-            "total_rows": int(sum(r["count"] for r in per_file)),
+            "partitions": per_file,
+            "total_rows": int(sum(r["row_count"] for r in per_file)),
             "metrics": dict(metrics or {}, wall_ms=int((time.monotonic() - t0) * 1000)),
         }
         if bucket_keys is not None and buckets > 0:
@@ -253,25 +285,11 @@ class CheckpointStore:
         # the write registered + cached the table before the links landed
         self.spark.catalog.refreshTable(cat)
         # lineage reconciliation WITHOUT scanning the reused buckets: fresh
-        # files are counted with one O(touched) read; hardlinked files are
-        # byte-identical to the parent's, so their parent lineage rows are
-        # inherited verbatim (any basename the parent lineage lacks — it
-        # shouldn't — is counted directly as a fallback)
-        partitions = []
-        if fresh_names:
-            per_file = (
-                self.spark.read.parquet(*(os.path.join(path, f) for f in fresh_names))
-                .groupBy(F.input_file_name().alias("partition_file"))
-                .count()
-                .collect()
-            )
-            partitions += [
-                {
-                    "partition_file": os.path.basename(r["partition_file"]),
-                    "row_count": r["count"],
-                }
-                for r in per_file
-            ]
+        # files are counted from their footers (no Spark job); hardlinked
+        # files are byte-identical to the parent's, so their parent lineage
+        # rows are inherited verbatim (any basename the parent lineage
+        # lacks — it shouldn't — gets a footer read as a fallback)
+        partitions = list(_footer_counts(path, fresh_names))
         parent_rows = {
             p["partition_file"]: p
             for p in self.lineage(table, parent_snapshot).get("partitions", [])
@@ -279,12 +297,8 @@ class CheckpointStore:
         for name in sorted(reused_names):
             row = parent_rows.get(name)
             if row is None:
-                row = {
-                    "partition_file": name,
-                    "row_count": self.spark.read.parquet(
-                        os.path.join(path, name)
-                    ).count(),
-                }
+                row = _footer_counts(path, [name])
+                row = row[0] if row else {"partition_file": name, "row_count": 0}
             partitions.append(row)
         lineage = {
             "table": table,
@@ -323,10 +337,11 @@ class CheckpointStore:
         with open(lp, encoding="utf-8") as f:
             lineage = json.load(f)
         try:
-            # read() resolves bucketed snapshots through the catalog — a
-            # raw parquet read cannot infer a schema from a zero-file
-            # (empty) bucketed snapshot
-            actual = self.read(table, snapshot_id).count()
+            # reconcile against the parquet footers (O(files) metadata
+            # reads, no Spark job): detects missing/truncated data files
+            # the same way the old full-count read-back did — resume
+            # callers probe every stage, so this must stay cheap
+            actual = sum(r["row_count"] for r in _footer_counts(sp))
         except Exception:
             return False
         return actual == lineage["total_rows"]

@@ -80,6 +80,7 @@ def grouped_map(
     out_rows_per_batch: int = 4096,
     pre_sorted: bool = False,
     pre_partitioned: bool = False,
+    partitioner: str = "hash",
 ) -> DataFrame:
     """applyInPandas semantics (``fn`` sees one whole group, returns a
     DataFrame of output rows) at mapInPandas cost. See module docstring.
@@ -104,7 +105,23 @@ def grouped_map(
     so the planner's DisableUnnecessaryBucketedScan rule would otherwise
     revert the scan to regular splittable reads and a large bucket file
     could fragment one key across partitions — undetectable by
-    iter_key_groups' per-partition guard."""
+    iter_key_groups' per-partition guard.
+
+    ``partitioner="range"`` swaps the hash shuffle for
+    ``repartitionByRange(partitions, key)`` — the long-conversation skew
+    control. Hash assigns each partition ~equal KEY counts; with skewed
+    conversation lengths the partition that draws a big conversation also
+    still holds its full key share of everything else. Range partitioning
+    samples the input and cuts boundaries targeting ~equal ROW counts, so
+    a heavy conversation's partition carries at most that conversation
+    plus ~one quantile step of neighbours (an unsplittable key still
+    lower-bounds its partition at its own size — no partitioner can split
+    a per-conv group). Identical output either way (all rows of one key
+    stay in one contiguous range; ordering is restored by the same
+    partition-local sort); costs one extra sampling pass over the input,
+    so it is opt-in for inputs with known heavy length skew."""
+    if partitioner not in ("hash", "range"):
+        raise ValueError(f"partitioner must be 'hash' or 'range', got {partitioner!r}")
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
 
@@ -126,8 +143,8 @@ def grouped_map(
         return df.mapInPandas(mapper, schema=schema)
     if pre_partitioned:
         return df.sortWithinPartitions(key, order).mapInPandas(mapper, schema=schema)
-    return (
-        df.repartition(partitions, key)
-        .sortWithinPartitions(key, order)
-        .mapInPandas(mapper, schema=schema)
-    )
+    if partitioner == "range":
+        spread = df.repartitionByRange(partitions, key)
+    else:
+        spread = df.repartition(partitions, key)
+    return spread.sortWithinPartitions(key, order).mapInPandas(mapper, schema=schema)

@@ -53,6 +53,7 @@ def extract_people_combined(
     pre_sorted: bool = False,
     user_dict=None,
     pre_partitioned: bool = False,
+    partitioner: str = "hash",
 ) -> DataFrame:
     """One extraction pass → (conv_id, kind∈{name,alias}, name, alias_type,
     alias). Persist/materialize THIS when both splits are needed — the
@@ -78,6 +79,7 @@ def extract_people_combined(
         _EXTRACT_SCHEMA,
         pre_sorted=pre_sorted,
         pre_partitioned=pre_partitioned,
+        partitioner=partitioner,
     )
 
 

@@ -48,6 +48,7 @@ def fused_scan_extract(
     index: SurfaceIndexHandle,
     pre_sorted: bool = False,
     pre_partitioned: bool = False,
+    partitioner: str = "hash",
 ) -> DataFrame:
     """→ tagged-union DataFrame; see module docstring. Persist this and
     split with the accessors below.
@@ -94,7 +95,12 @@ def fused_scan_extract(
 
     enriched = with_biographee(turns, meta)
     return grouped_map(
-        enriched, _go, _SCHEMA, pre_sorted=pre_sorted, pre_partitioned=pre_partitioned
+        enriched,
+        _go,
+        _SCHEMA,
+        pre_sorted=pre_sorted,
+        pre_partitioned=pre_partitioned,
+        partitioner=partitioner,
     )
 
 

@@ -455,6 +455,8 @@ class IncrementalPipeline:
         buckets: int | None = None,
         rescan_via_file: bool = False,
         enable_cow: bool = True,
+        max_conv_turns: int | None = None,
+        group_partitioner: str = "hash",
     ) -> None:
         """``rescan_via_file``: distribute the changed-surface probe set
         via a parquet under the warehouse instead of driver collect +
@@ -465,7 +467,13 @@ class IncrementalPipeline:
         ``enable_cow``: copy-on-write vocabulary commits when the base
         carries the bucketed layout (module docstring); False forces the
         full-rewrite path — an operational escape hatch and the A/B
-        comparator tools/bench_cow.py measures against."""
+        comparator tools/bench_cow.py measures against.
+
+        ``max_conv_turns`` / ``group_partitioner``: same long-conversation
+        controls as the batch pipeline (plans/pipeline.py) applied to the
+        DELTA's conversations — the cap filters ``turn_idx`` before stage 0
+        and audits ``capped_convs`` in the stage0_turns metrics; the
+        partitioner choice affects only the delta passes' shuffles."""
         if base_snapshot == snapshot_id:
             raise ValueError("incremental snapshot id must differ from base")
         self.spark = spark
@@ -476,6 +484,12 @@ class IncrementalPipeline:
         self.user_dict = user_dict
         self.rescan_via_file = rescan_via_file
         self.enable_cow = enable_cow
+        self.max_conv_turns = max_conv_turns
+        if group_partitioner not in ("hash", "range"):
+            raise ValueError(
+                f"group_partitioner must be 'hash' or 'range', got {group_partitioner!r}"
+            )
+        self.group_partitioner = group_partitioner
         # same BUCKET_KEYS layout as the batch pipeline: the per-delta
         # rejoins (people ⋈ labels, nodes' name-keyed aggregate+joins, the
         # delta turn passes) read their committed sides pre-partitioned.
@@ -594,6 +608,19 @@ class IncrementalPipeline:
         store, sid, base = self.store, self.snapshot_id, self.base
         executed: list[str] = []
         skipped: list[str] = []
+        stage_metrics: dict[str, dict] = {}
+        if self.max_conv_turns is not None:
+            # bounded per-group memory for the delta's conversations —
+            # same audited scan predicate as the batch pipeline
+            cut = F.col("turn_idx") >= F.lit(self.max_conv_turns)
+            stage_metrics["stage0_turns"] = {
+                "max_conv_turns": self.max_conv_turns,
+                "capped_convs": new_transcripts.filter(cut)
+                .select("conv_id")
+                .distinct()
+                .count(),
+            }
+            new_transcripts = new_transcripts.filter(~cut)
         # copy-on-write engagement: vocabulary tables commit only their
         # touched buckets when the base carries the shared bucketed layout
         cow_n = self._cow_buckets() if self.enable_cow else 0
@@ -609,7 +636,8 @@ class IncrementalPipeline:
             if out is not None:
                 touched, df_touched = out
                 store.commit_partial(
-                    df_touched, name, sid, base, touched, input_snapshots=inputs
+                    df_touched, name, sid, base, touched,
+                    input_snapshots=inputs, metrics=stage_metrics.get(name),
                 )
             else:
                 args = self._bucket_args(name)
@@ -619,7 +647,10 @@ class IncrementalPipeline:
                     # or the next delta's _cow_buckets would silently
                     # disengage CoW for EVERY table
                     args = {"bucket_keys": VOCAB_BUCKET_KEYS[name], "buckets": cow_n}
-                store.commit(build(), name, sid, input_snapshots=inputs, **args)
+                store.commit(
+                    build(), name, sid, input_snapshots=inputs,
+                    metrics=stage_metrics.get(name), **args,
+                )
             executed.append(name)
             return store.read(name, sid)
 
@@ -646,7 +677,11 @@ class IncrementalPipeline:
             store.lineage("stage0_turns", sid).get("bucketing", {}) or {}
         ).get("keys") == ["conv_id"]
         extracted = mentions.extract_people_combined(
-            d_turns, d_meta, user_dict=self.user_dict, pre_partitioned=d_turns_bucketed
+            d_turns,
+            d_meta,
+            user_dict=self.user_dict,
+            pre_partitioned=d_turns_bucketed,
+            partitioner=self.group_partitioner,
         ).persist()
         cow_cache.append(extracted)
         ext_names, ext_aliases = mentions.split_extracted(extracted)
@@ -888,6 +923,7 @@ class IncrementalPipeline:
         fused = stage2.fused_scan_extract(
             s2_turns, s2_meta, index,
             pre_partitioned=d_turns_bucketed and not any_rescan,
+            partitioner=self.group_partitioner,
         ).persist()
         cow_cache.append(fused)
         g2 = _group(

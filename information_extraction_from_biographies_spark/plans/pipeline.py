@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators import (
     canonicalize,
@@ -178,6 +179,8 @@ class Pipeline:
         buckets: int | None = None,
         gram_index: bool = True,
         gram_max_df: int | None = None,
+        max_conv_turns: int | None = None,
+        group_partitioner: str = "hash",
     ) -> None:
         """``user_dict``: iterable of known person names for the N1
         dictionary-segmentation channel (the jieba user dicts of
@@ -203,7 +206,29 @@ class Pipeline:
         ``plans.incremental.ensure_gram_index``.
 
         ``gram_max_df``: stop-gram document-frequency cap (operators/
-        postings.hot_grams). None → auto: max(200, 5% of conversations)."""
+        postings.hot_grams). None → auto: max(200, 5% of conversations).
+
+        ``max_conv_turns``: hard bound on executor memory per conversation
+        group. The per-conv kernels operate on the JOINED conversation
+        text (the reference's whole-document semantics), so one group's
+        memory is O(largest conversation); an adversarially long transcript
+        (agent loop stuck for 10^9 turns) would OOM the executor holding
+        it. When set, stage 0 keeps only ``turn_idx < max_conv_turns`` —
+        a pure scan predicate (pushed to parquet row-group stats, zero
+        shuffle) that caps every group at the first N turns — and the
+        stage0_turns commit metrics record ``capped_convs`` (count of
+        conversations that lost turns) so the truncation is audited, never
+        silent. None (default) disables the cap.
+
+        ``group_partitioner``: "hash" (default) or "range" — how the two
+        per-conversation Python passes spread conversations across
+        partitions when the turns snapshot is not already co-located.
+        "range" uses repartitionByRange: partitions get ~equal ROW counts
+        rather than ~equal KEY counts, so heavily skewed conversation
+        lengths stop serializing behind the partition that drew a giant
+        conversation plus its full hash share of small ones (see
+        functions/grouped.py). Ignored on resumed bucketed snapshots
+        (their layout is already fixed by the commit)."""
         self.spark = spark
         self.store = CheckpointStore(spark, warehouse)
         self.warehouse = warehouse
@@ -214,6 +239,12 @@ class Pipeline:
         self.buckets = buckets
         self.gram_index = gram_index
         self.gram_max_df = gram_max_df
+        self.max_conv_turns = max_conv_turns
+        if group_partitioner not in ("hash", "range"):
+            raise ValueError(
+                f"group_partitioner must be 'hash' or 'range', got {group_partitioner!r}"
+            )
+        self.group_partitioner = group_partitioner
         if buckets is not None and buckets > 0:
             self._pin_bucketed_scan_conf()
 
@@ -253,13 +284,35 @@ class Pipeline:
         self._resolve_buckets(transcripts)
         executed: list[str] = []
         skipped: list[str] = []
+        stage_metrics: dict[str, dict] = {}
+
+        if self.max_conv_turns is not None:
+            # bounded per-group memory: keep each conversation's first N
+            # turns — a pure scan predicate, no shuffle — and AUDIT the
+            # truncation in the stage0_turns lineage metrics
+            cut = F.col("turn_idx") >= F.lit(self.max_conv_turns)
+            stage_metrics["stage0_turns"] = {
+                "max_conv_turns": self.max_conv_turns,
+                "capped_convs": transcripts.filter(cut)
+                .select("conv_id")
+                .distinct()
+                .count(),
+            }
+            transcripts = transcripts.filter(~cut)
 
         def _materialize(name: str, build, inputs: dict[str, str]) -> DataFrame:
             if resume and self.store.is_committed(name, sid):
                 skipped.append(name)
                 return self.store.read(name, sid)
             df = build()
-            self.store.commit(df, name, sid, input_snapshots=inputs, **self._bucket_args(name))
+            self.store.commit(
+                df,
+                name,
+                sid,
+                input_snapshots=inputs,
+                metrics=stage_metrics.get(name),
+                **self._bucket_args(name),
+            )
             executed.append(name)
             if fail_after == name:
                 raise RuntimeError(f"injected failure after committing {name}")
@@ -296,7 +349,11 @@ class Pipeline:
             self.store.lineage("stage0_turns", sid).get("bucketing", {}) or {}
         ).get("keys") == ["conv_id"]
         extracted = mentions.extract_people_combined(
-            turns, meta, user_dict=self.user_dict, pre_partitioned=turns_bucketed
+            turns,
+            meta,
+            user_dict=self.user_dict,
+            pre_partitioned=turns_bucketed,
+            partitioner=self.group_partitioner,
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
 
@@ -365,7 +422,11 @@ class Pipeline:
         )
         index = scan.build_surface_index(surfaces_df, via_file=via_file)
         fused = stage2.fused_scan_extract(
-            turns, meta, index, pre_partitioned=turns_bucketed
+            turns,
+            meta,
+            index,
+            pre_partitioned=turns_bucketed,
+            partitioner=self.group_partitioner,
         ).persist()
 
         # the five independent consumers of the persisted fused pass (plus

@@ -131,3 +131,123 @@ def test_cc_local_path_matches_distributed(spark):
     local = {tuple(r) for r in connected_components(sdf).collect()}
     dist = {tuple(r) for r in connected_components(sdf, local_threshold=0).collect()}
     assert local == dist
+
+
+def test_range_partitioner_output_equals_hash_and_balances(spark):
+    """grouped_map(partitioner='range') — the repartitionByRange skew
+    control for long conversations: identical output to the hash path,
+    and the partition holding the giant conversation stops also holding a
+    hash share of the small ones (better row balance)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_from_biographies_spark.functions.grouped import (
+        grouped_map,
+    )
+
+    tdf, _ = _skewed_transcripts(spark, n_small=20, giant_reps=200)
+
+    def per_conv(pdf):
+        return pd.DataFrame(
+            {"conv_id": [pdf["conv_id"].iloc[0]], "n_turns": [len(pdf)]}
+        )
+
+    schema = "conv_id string, n_turns long"
+    out_hash = {
+        r.conv_id: r.n_turns
+        for r in grouped_map(tdf, per_conv, schema, partitioner="hash").collect()
+    }
+    out_range = {
+        r.conv_id: r.n_turns
+        for r in grouped_map(tdf, per_conv, schema, partitioner="range").collect()
+    }
+    assert out_hash == out_range and len(out_range) == 20
+
+    # balance: hash assigns each partition ~equal KEYS; range targets
+    # ~equal ROWS. Under a pareto-ish conversation-length distribution
+    # (the long-conversation shape) the hash partition that draws the
+    # biggest conversation also draws its full key share of the rest,
+    # while range packs the big conversation with little else. Probe the
+    # two physical spreads on a synthetic key distribution directly —
+    # needs many keys so the hash share concentrates (a 20-key table is
+    # luck-dominated).
+    parts = 8
+    sizes = [max(10, 10000 // (k + 1)) for k in range(200)]  # 10000, 5000, ...
+    rows = [(f"conv_{k:04d}", i) for k, n in enumerate(sizes) for i in range(n)]
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    total, biggest = len(rows), max(sizes)
+
+    def max_part_rows(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    mr = max_part_rows(sdf.repartitionByRange(parts, "conv_id"))
+    mh = max_part_rows(sdf.repartition(parts, "conv_id"))
+    # range: bounded by the unsplittable biggest key + ~one quantile step
+    assert mr <= max(biggest, total / parts) + total / parts
+    # hash: the biggest key's partition carries ~its key share on top —
+    # materially worse than the range spread
+    assert mh > mr
+
+    # invalid partitioner rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioner"):
+        grouped_map(tdf, per_conv, schema, partitioner="sorted")
+
+
+def test_max_conv_turns_caps_and_audits(spark, tmp_path):
+    """Pipeline(max_conv_turns=N): output equals the pipeline over a
+    pre-truncated input (turn_idx < N), and the stage0_turns lineage
+    metrics audit the capped conversations — truncation is never silent."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+    tdf, f = _skewed_transcripts(spark, n_small=8, giant_reps=40)
+    cap = 20
+
+    def run(df, wh, **kw):
+        pipe = Pipeline(spark, str(tmp_path / wh), snapshot_id="s", gram_index=False, **kw)
+        res = pipe.run(df)
+        return pipe, {
+            (r.subj, r.pred, r.obj) for r in res.tables["triples"].collect()
+        }
+
+    capped_pipe, capped_tri = run(tdf, "capped", max_conv_turns=cap)
+    _, manual_tri = run(tdf.filter(F.col("turn_idx") < cap), "manual")
+    assert capped_tri == manual_tri
+
+    m = capped_pipe.store.lineage("stage0_turns", "s")["metrics"]
+    assert m["max_conv_turns"] == cap
+    assert m["capped_convs"] == 1  # exactly the giant conversation
+
+    # uncapped runs carry no truncation metrics
+    plain_pipe, _ = run(tdf, "plain")
+    assert "capped_convs" not in plain_pipe.store.lineage("stage0_turns", "s")["metrics"]
+
+
+def test_pipeline_range_partitioner_end_to_end(spark, tmp_path):
+    """Pipeline(group_partitioner='range') produces identical tables to
+    the default hash spread (placement-only change)."""
+    from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+    f = fx.make_fixture(n_convs=8, seed=13)
+    tdf = fx.transcripts_sdf(spark, f)
+
+    def tri(wh, **kw):
+        res = Pipeline(
+            spark, str(tmp_path / wh), snapshot_id="s", gram_index=False, **kw
+        ).run(tdf)
+        return {(r.subj, r.pred, r.obj) for r in res.tables["triples"].collect()}
+
+    assert tri("range", group_partitioner="range") == tri("hash")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group_partitioner"):
+        Pipeline(spark, str(tmp_path / "bad"), group_partitioner="zip")

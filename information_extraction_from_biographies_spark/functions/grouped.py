@@ -70,6 +70,20 @@ def iter_key_groups(
         yield from _close_and_yield(pending)
 
 
+def ordered_group(pdf: pd.DataFrame, col: str = "turn_idx") -> pd.DataFrame:
+    """Return the group ordered by ``col``, trusting grouped_map's
+    delivery contract: every path into the per-group kernels sorts the
+    partition by (key, order) first, and iter_key_groups preserves row
+    order, so the group arrives already sorted. An O(n) C-speed
+    monotonicity check guards the contract (hand-built groups in tests,
+    future callers outside grouped_map) and only then pays the sort —
+    the per-group ``sort_values`` the kernels used to do unconditionally
+    profiled at ~10% of fused-pass kernel time."""
+    if pdf[col].is_monotonic_increasing:
+        return pdf
+    return pdf.sort_values(col)
+
+
 def grouped_map(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame | None],

@@ -17,14 +17,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.extraction import extract_names_from_conv
-from ..functions.grouped import grouped_map
+from ..functions.grouped import grouped_map, ordered_group
 
 _EXTRACT_SCHEMA = "conv_id string, kind string, name string, alias_type string, alias string"
 
 
 def conv_text_of(pdf: pd.DataFrame, col: str = "norm_text") -> str:
     """Paragraph-joined conversation text under stable turn ordering (W4)."""
-    ordered = pdf.sort_values("turn_idx")
+    ordered = ordered_group(pdf)
     return "\n\n".join(str(t) for t in ordered[col] if t is not None)
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.clauses import split_clauses_with_positions
-from ..functions.grouped import grouped_map
+from ..functions.grouped import grouped_map, ordered_group
 from ..functions.extraction import KIN_TEMP_TYPE
 from ..functions.matcher import SurfaceIndexHandle
 
@@ -76,7 +76,7 @@ def scan_mentions(turns: DataFrame, index) -> DataFrame:
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = getter()
         conv_id = pdf["conv_id"].iloc[0]
-        ordered = pdf.sort_values("turn_idx")
+        ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         rows = []
         for person in idx.distinct_persons_in(text):

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: N812
 from ..functions.clauses import split_clauses_with_positions
 from ..functions.extraction import extract_hometown
 from .cooccurrence import conv_pair_scores
-from ..functions.grouped import grouped_map
+from ..functions.grouped import grouped_map, ordered_group
 from ..functions.matcher import SurfaceIndexHandle
 from ..functions.relations import extract_relations_for_conv
 from ..functions.timeline import extract_timeline
@@ -60,7 +60,7 @@ def fused_scan_extract(
     def _go(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = getter()
         conv_id = pdf["conv_id"].iloc[0]
-        ordered = pdf.sort_values("turn_idx")
+        ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
         biographee = bio_vals[0] if bio_vals else None

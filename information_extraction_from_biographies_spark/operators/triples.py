@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.extraction import KIN_TEMP_TYPE, extract_hometown
-from ..functions.grouped import grouped_map
+from ..functions.grouped import grouped_map, ordered_group
 from ..functions.matcher import SurfaceIndexHandle
 from ..functions.relations import extract_relations_for_conv
 from ..functions.timeline import extract_timeline
@@ -71,7 +71,7 @@ def verb_triples(turns: DataFrame, meta: DataFrame, person_surfaces_df: DataFram
 
     def _rel(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]
-        ordered = pdf.sort_values("turn_idx")
+        ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
         pairs_raw = next((p for p in pdf["pairs"] if p is not None and len(p) > 0), None)
@@ -108,7 +108,7 @@ def hometown_triples(turns: DataFrame, meta: DataFrame) -> DataFrame:
 
     def _home(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]
-        ordered = pdf.sort_values("turn_idx")
+        ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
         place = extract_hometown(text)
@@ -181,7 +181,7 @@ def timeline_table(
                 lex = build_lex_index(surfaces)
                 lex_holder["lex"] = lex
         conv_id = pdf["conv_id"].iloc[0]
-        ordered = pdf.sort_values("turn_idx")
+        ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         rows = [
             (conv_id, y, e, s)

@@ -206,17 +206,22 @@ def extract_relations_for_conv(
     conversation and each of their surfaces (names + aliases) — the scan
     probes every surface string, as the reference does with
     get_all_names_of_people (Relationship.py:53-59)."""
-    from .clauses import relation_lines
+    from .clauses import all_relation_lines, strip_parens
 
     raw: list[str] = []
     seen_surfaces: set[str] = set()
     lex_index = build_lex_index([s for _, s in person_surfaces])
     dep_cache: dict[str, dict] = {}
+    # split the text into lines ONCE; relation_lines(text, surface) re-ran
+    # the same regex split per probed surface (~20x per conversation).
+    # Same semantics: containment is probed on the RAW line (parens kept,
+    # as relation_lines does), parens stripped only on a hit.
+    conv_lines = all_relation_lines(text)
     for _person, surface in person_surfaces:
         if not surface or surface in seen_surfaces:
             continue
         seen_surfaces.add(surface)
-        for line in relation_lines(text, surface):
+        for line in (strip_parens(ln) for ln in conv_lines if surface in ln):
             dep = dep_cache.get(line)
             if dep is None:
                 dep = dep_cache[line] = build_dep_dict(line, lex_index)

@@ -81,8 +81,11 @@ def scan_mentions(turns: DataFrame, index) -> DataFrame:
         rows = []
         for person in idx.distinct_persons_in(text):
             rows.append((conv_id, "person", -1, person, None))
-        for clause, pos in split_clauses_with_positions(text):
-            for person, surface, _k in idx.persons_in(clause):
+        clause_pos = split_clauses_with_positions(text)
+        for (_clause, pos), matches in zip(
+            clause_pos, idx.persons_in_clauses([c for c, _ in clause_pos])
+        ):
+            for person, surface, _k in matches:
                 rows.append((conv_id, "occ", pos, person, surface))
         return pd.DataFrame(rows, columns=["conv_id", "kind", "pos", "person", "surface"])
 

@@ -70,8 +70,11 @@ def fused_scan_extract(
         for person in detected:
             rows.append((conv_id, "person", -1, person, None, None, None, None, None, None))
         positions_by_person: dict[str, list[int]] = {}
-        for clause, pos in split_clauses_with_positions(text):
-            for person, surface, _k in idx.persons_in(clause):
+        clause_pos = split_clauses_with_positions(text)
+        for (_clause, pos), matches in zip(
+            clause_pos, idx.persons_in_clauses([c for c, _ in clause_pos])
+        ):
+            for person, surface, _k in matches:
                 rows.append((conv_id, "occ", pos, person, surface, None, None, None, None, None))
                 positions_by_person.setdefault(person, []).append(pos)
         # A3+A4+A2 fold per conversation — no pair shuffle (see cooccurrence)

@@ -42,6 +42,35 @@ def test_surface_index_shared_surface_maps_to_all_persons():
     assert idx.distinct_persons_in("先生號石泉。") == ["林二", "陳一"]
 
 
+def test_persons_in_clauses_equals_per_clause_scan():
+    """The single-pass batched clause scan must equal [persons_in(c) for c
+    in clauses] exactly — order included — on random clause streams, incl.
+    patterns shared across clauses, empty clauses, and no-match clauses."""
+    rng = random.Random(11)
+    alphabet = "陳林黃泗治平安王字號大明"
+    rows = []
+    for i in range(40):
+        surf = "".join(rng.choices(alphabet, k=rng.randint(1, 4)))
+        rows.append((surf, f"人{i % 7}", "name" if i % 2 else "號"))
+    idx = SurfaceIndex(rows)
+    for _ in range(30):
+        clauses = [
+            "".join(rng.choices(alphabet, k=rng.randint(0, 30)))
+            for _ in range(rng.randint(0, 12))
+        ]
+        assert idx.persons_in_clauses(clauses) == [idx.persons_in(c) for c in clauses]
+
+    # boundary isolation: a surface split across two clauses must NOT match
+    idx2 = SurfaceIndex([("陳大明", "陳大明", "name")])
+    assert idx2.persons_in_clauses(["甲陳大", "明乙"]) == [[], []]
+    assert idx2.persons_in_clauses(["甲陳大明乙"]) == [[("陳大明", "陳大明", "name")]]
+
+    # a NUL-bearing surface forces the per-clause fallback, same results
+    idx3 = SurfaceIndex([("陳\x00明", "怪", "name"), ("陳一", "陳一", "name")])
+    assert idx3._has_nul
+    assert idx3.persons_in_clauses(["陳一之", ""]) == [idx3.persons_in("陳一之"), []]
+
+
 # ---------------------------------------------------------------- clauses
 def test_clause_split_increments_and_trailing_drop():
     # ，→ +1, 。→ +2, 。\n\n → +3; trailing clause after the last matched

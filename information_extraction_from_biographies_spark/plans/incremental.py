@@ -90,7 +90,12 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators import canonicalize, graph, mentions, normalize, postings, scan, stage2
 from ..sources.checkpoint import CheckpointStore
-from .pipeline import BUCKET_KEYS, VOCAB_BUCKET_KEYS, PipelineResult
+from .pipeline import (
+    BUCKET_KEYS,
+    VOCAB_BUCKET_KEYS,
+    PipelineResult,
+    pin_bucketed_scan_conf,
+)
 
 # corpus-scale tables are delta-committed with chain-resolved reads; the
 # two groups differ in WHICH conversations their delta covers, hence which
@@ -128,6 +133,32 @@ def snapshot_parent(warehouse: str, snapshot_id: str) -> str | None:
         return json.load(f)["parent"]
 
 
+def _upgrade_legacy_turns(
+    store: CheckpointStore, turns: DataFrame, snapshot_id: str
+) -> DataFrame:
+    """Schema upgrade at the read boundary: a ``stage0_turns`` member
+    committed before biographee threading has no ``biographee`` column, so
+    chained reads over a mixed chain would either crash (strict
+    unionByName) or — worse, via allowMissingColumns in the rescan union —
+    fill NULL and silently drop the rescanned conversations' hometown /
+    relation-subject / biographee-prior outputs. Backfill the turn-0 rows
+    from the SAME snapshot's ``stage0_meta`` (which has always carried
+    biographee); non-zero turns stay NULL — exactly the threaded shape
+    ``normalize_shared`` commits. One un-hinted equi-join per LEGACY chain
+    member only (native members return unchanged), and ``compact_snapshot``
+    rewrites the chain with the native schema, retiring the cost."""
+    if "biographee" in turns.columns:
+        return turns
+    bio = store.read("stage0_meta", snapshot_id).select("conv_id", "biographee")
+    cols = turns.columns
+    return turns.join(bio, "conv_id", "left").select(
+        *cols,
+        F.when(F.col("turn_idx") == 0, F.col("biographee"))
+        .cast("string")
+        .alias("biographee"),
+    )
+
+
 def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame:
     """Resolve the FULL contents of ``table`` at ``snapshot_id`` across the
     incremental snapshot chain: each incremental snapshot holds a delta
@@ -136,15 +167,17 @@ def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame
     metadata) and vocabulary-scale tables read directly. The excluded set
     is delta-sized → broadcast anti-join; no shuffle of history."""
     parent = snapshot_parent(store.warehouse, snapshot_id)
+    level = store.read(table, snapshot_id)
+    if table == "stage0_turns":
+        level = _upgrade_legacy_turns(store, level, snapshot_id)
     if parent is None or table not in CORPUS_TABLES:
-        return store.read(table, snapshot_id)
+        return level
     base = full_view(store, table, parent)
     excl_table = "replaced_convs" if table in REPLACE_TABLES else "excluded_convs"
     excluded = store.read(excl_table, snapshot_id)
-    delta = store.read(table, snapshot_id)
     return base.join(
         F.broadcast(excluded), "conv_id", "left_anti"
-    ).unionByName(delta)
+    ).unionByName(level)
 
 
 def full_view_buckets(
@@ -177,6 +210,8 @@ def full_view_buckets(
         if aligned
         else store.read(table, snapshot_id)
     )
+    if table == "stage0_turns":
+        level = _upgrade_legacy_turns(store, level, snapshot_id)
     if parent is None or table not in CORPUS_TABLES:
         return level
     base = full_view_buckets(store, table, parent, key, num_buckets, bucket_ids)
@@ -503,26 +538,18 @@ class IncrementalPipeline:
             # no distribution requirement, so without this the planner
             # reverts bucketed scans to splittable reads and a big bucket
             # file can fragment a conversation across partitions
-            spark.conf.set(
-                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-            )
+            pin_bucketed_scan_conf(spark)
 
     def _resolve_buckets(self, new_transcripts) -> int:
-        from .pipeline import auto_bucket_count
+        from .pipeline import resolve_buckets
 
-        if self.buckets is None:
-            self.buckets = auto_bucket_count(new_transcripts)
-        if self.buckets > 0:
-            self.spark.conf.set(
-                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-            )
+        self.buckets = resolve_buckets(self.spark, self.buckets, new_transcripts)
         return self.buckets
 
     def _bucket_args(self, name: str) -> dict:
-        key = BUCKET_KEYS.get(name)
-        if key is None or not self.buckets:
-            return {}
-        return {"bucket_keys": key, "buckets": self.buckets}
+        from .pipeline import bucket_args
+
+        return bucket_args(name, self.buckets)
 
     def _cow_buckets(self) -> int:
         """Shared bucket count of the base's vocabulary tables, or 0 when
@@ -551,9 +578,6 @@ class IncrementalPipeline:
         )
         return sorted(int(r["b"]) for r in rows if r["b"] is not None)
 
-    def _chain_has(self, table: str, snapshot_id: str) -> bool:
-        return chain_has(self.store, table, snapshot_id)
-
     def _turns_for(self, conv_set: DataFrame) -> DataFrame:
         """Base turn rows of the given (small) conversation set,
         file-pruned to their conv_id buckets when the base chain carries
@@ -569,7 +593,12 @@ class IncrementalPipeline:
             )
         else:
             src = full_view(store, "stage0_turns", base)
-        return src.join(F.broadcast(conv_set), "conv_id", "leftsemi")
+        # no broadcast hint: conv_set is usually delta-sized, but the
+        # indexed-rescan candidate set is bounded only by max_df per
+        # changed surface — at the 10^10-conversation posture a forced
+        # broadcast of it is the same driver-OOM pattern the flagship
+        # de-hinted for meta; AQE broadcasts when the runtime size fits
+        return src.join(conv_set, "conv_id", "leftsemi")
 
     # -- helpers -----------------------------------------------------
     def _write_meta(self, rescan_mode: str) -> None:
@@ -676,6 +705,11 @@ class IncrementalPipeline:
         d_turns_bucketed = (
             store.lineage("stage0_turns", sid).get("bucketing", {}) or {}
         ).get("keys") == ["conv_id"]
+        if d_turns_bucketed:
+            # committed layout, not this run's knob (see plans/pipeline
+            # pin_bucketed_scan_conf): a resume with buckets=0 over a
+            # bucketed delta snapshot still needs the planner pin
+            pin_bucketed_scan_conf(self.spark)
         extracted = mentions.extract_people_combined(
             d_turns,
             d_meta,
@@ -813,13 +847,19 @@ class IncrementalPipeline:
                 return delta_convs
             # symmetric difference of probe tuples — additions AND
             # evictions both invalidate historical scan output
+            # persisted: the two exceptAll shuffles over the
+            # vocabulary-scale surface tables feed up to five separate
+            # actions below (newline guard, file write / collect, the
+            # all-stopped probe, touched-bucket ids, candidate eval) —
+            # without the persist each re-runs both shuffles from scratch
             changed = (
                 merged_surfaces.exceptAll(base_surfaces)
                 .unionByName(base_surfaces.exceptAll(merged_surfaces))
                 .select("surface")
                 .distinct()
                 .filter(F.col("surface").isNotNull() & (F.col("surface") != ""))
-            )
+            ).persist()
+            cow_cache.append(changed)
             # A surface containing a newline could span turns in the
             # paragraph-joined text; none can exist (names/aliases are
             # single-line extractions) — distributed guard so the
@@ -856,13 +896,10 @@ class IncrementalPipeline:
                 # whose EVERY gram is stopped keeps the full probe scan —
                 # the exactness escape hatch of the stop-gram design.
                 stops = full_view_stops(store, base)
-                qg = postings.apply_stops(
-                    postings.surface_query_grams(changed), stops
-                )
+                query_grams = postings.surface_query_grams(changed)
+                qg = postings.apply_stops(query_grams, stops)
                 all_stopped = bool(
-                    postings.unprunable_surfaces(
-                        postings.surface_query_grams(changed), stops
-                    )
+                    postings.unprunable_surfaces(query_grams, stops)
                     .limit(1)
                     .count()
                 )

@@ -167,6 +167,46 @@ def auto_bucket_count(df: DataFrame) -> int:
     return min(AUTO_BUCKET_MAX, -(-total // AUTO_BUCKET_TARGET_BYTES))
 
 
+def pin_bucketed_scan_conf(spark: SparkSession) -> None:
+    """The Python passes consume the bucketed turns scan through
+    mapInPandas, which declares NO required distribution — so the
+    DisableUnnecessaryBucketedScan rule would silently revert the
+    scan to regular splittable file reads ("Bucketed: false
+    (disabled by query planner)"), and at scale a >128 MB bucket
+    file then splits at row-group boundaries, fragmenting a
+    conversation across partitions (iter_key_groups' contiguity
+    guard is per-partition and cannot see that). Pinning the conf
+    keeps every bucketed scan bucketed: one partition per bucket,
+    groups whole. Correctness-bearing, not a tuning knob — which is
+    why it must fire on EVERY path that takes the pre-partitioned
+    Exchange-free plan: both when THIS run commits bucketed
+    (resolve_buckets) and when a resume finds bucketing in the
+    COMMITTED lineage while this run's knob is 0/None (the knob and
+    the layout the snapshot actually has are independent)."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+
+
+def resolve_buckets(spark: SparkSession, buckets: int | None, df: DataFrame) -> int:
+    """Resolve the bucket-count knob (None → auto-size from input bytes)
+    and pin the planner conf when bucketing engages. Shared by Pipeline
+    and IncrementalPipeline so the correctness-bearing pin has exactly
+    one implementation."""
+    if buckets is None:
+        buckets = auto_bucket_count(df)
+    if buckets > 0:
+        pin_bucketed_scan_conf(spark)
+    return buckets
+
+
+def bucket_args(name: str, buckets: int | None) -> dict:
+    key = BUCKET_KEYS.get(name)
+    if key is None or not buckets:
+        return {}
+    return {"bucket_keys": key, "buckets": buckets}
+
+
 class Pipeline:
     def __init__(
         self,
@@ -249,32 +289,14 @@ class Pipeline:
             self._pin_bucketed_scan_conf()
 
     def _pin_bucketed_scan_conf(self) -> None:
-        # The Python passes consume the bucketed turns scan through
-        # mapInPandas, which declares NO required distribution — so the
-        # DisableUnnecessaryBucketedScan rule would silently revert the
-        # scan to regular splittable file reads ("Bucketed: false
-        # (disabled by query planner)"), and at scale a >128 MB bucket
-        # file then splits at row-group boundaries, fragmenting a
-        # conversation across partitions (iter_key_groups' contiguity
-        # guard is per-partition and cannot see that). Pinning the conf
-        # keeps every bucketed scan bucketed: one partition per bucket,
-        # groups whole. Correctness-bearing, not a tuning knob.
-        self.spark.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-        )
+        pin_bucketed_scan_conf(self.spark)
 
     def _resolve_buckets(self, transcripts: DataFrame) -> int:
-        if self.buckets is None:
-            self.buckets = auto_bucket_count(transcripts)
-        if self.buckets > 0:
-            self._pin_bucketed_scan_conf()
+        self.buckets = resolve_buckets(self.spark, self.buckets, transcripts)
         return self.buckets
 
     def _bucket_args(self, name: str) -> dict:
-        key = BUCKET_KEYS.get(name)
-        if key is None or not self.buckets:
-            return {}
-        return {"bucket_keys": key, "buckets": self.buckets}
+        return bucket_args(name, self.buckets)
 
     def run(self, transcripts: DataFrame, resume: bool = True, fail_after: str | None = None) -> PipelineResult:
         """Run all stages; with resume=True, committed stages are read back
@@ -348,6 +370,13 @@ class Pipeline:
         turns_bucketed = (
             self.store.lineage("stage0_turns", sid).get("bucketing", {}) or {}
         ).get("keys") == ["conv_id"]
+        if turns_bucketed:
+            # the committed layout, not this run's knob, is what the
+            # Exchange-free path reads — a resume with buckets=0 over a
+            # snapshot committed bucketed still needs the planner pin or
+            # DisableUnnecessaryBucketedScan reverts the scan and a big
+            # bucket file fragments a conversation across partitions
+            pin_bucketed_scan_conf(self.spark)
         extracted = mentions.extract_people_combined(
             turns,
             meta,

@@ -205,6 +205,48 @@ def test_pipeline_resume_over_unbucketed_snapshot(spark, tmp_path):
     )
 
 
+def test_pipeline_resume_over_bucketed_snapshot_repins_conf(spark, tmp_path):
+    """Mirror of the test above: resuming with buckets=0 over a snapshot
+    an earlier run committed BUCKETED takes the Exchange-free
+    pre-partitioned path — sound only if the planner pin is re-set from
+    the COMMITTED lineage (a buckets=0 run never pins via
+    resolve_buckets). Without the re-pin DisableUnnecessaryBucketedScan
+    may revert the scan to splittable reads and a >128MB bucket file
+    fragments a conversation across partitions, silently."""
+    from information_extraction_from_biographies_spark import fixtures as fx
+    from information_extraction_from_biographies_spark.plans.pipeline import Pipeline
+
+    f = fx.make_fixture(n_convs=4)
+    tdf = fx.transcripts_sdf(spark, f)
+    wh = str(tmp_path / "wh")
+    old = Pipeline(spark, wh, snapshot_id="v1", buckets=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        old.run(tdf, fail_after="stage0_meta")
+    assert old.store.lineage("stage0_turns", "v1")["bucketing"]["keys"] == [
+        "conv_id"
+    ]
+
+    # a fresh session starts from the Spark default (true)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    try:
+        res = Pipeline(spark, wh, snapshot_id="v1", buckets=0).run(tdf, resume=True)
+        assert (
+            spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+            == "false"
+        )
+        assert "stage0_turns" in res.skipped_stages
+        fresh = Pipeline(spark, str(tmp_path / "wh2"), snapshot_id="f1", buckets=0).run(
+            tdf
+        )
+        assert sorted(map(tuple, res.tables["triples"].collect())) == sorted(
+            map(tuple, fresh.tables["triples"].collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+
+
 def test_checkpoint_bucketed_resume_keeps_layout(spark, tmp_path):
     """A bucketed snapshot re-read through the store joins with zero
     Exchange — including after the catalog entry is dropped (new-session

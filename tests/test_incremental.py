@@ -116,6 +116,50 @@ def test_incremental_chain_matches_full(spark, tmp_path):
     _assert_equal_results(inc, full)
 
 
+def test_rescan_over_pre_threading_base_chain(spark, tmp_path):
+    """A base chain whose stage0_turns predates biographee threading (no
+    ``biographee`` column) is upgraded at the read boundary
+    (_upgrade_legacy_turns): the rescanned historical conversations keep
+    their hometown / relation-subject / biographee-prior outputs instead
+    of silently losing them to allowMissingColumns NULLs, the
+    mixed-schema chain resolves through full_view without a unionByName
+    crash, and every table matches the batch recompute."""
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+
+    # simulate the legacy commit: rewrite the base's stage0_turns snapshot
+    # WITHOUT the threaded column (rows otherwise identical)
+    import os
+    import shutil
+
+    store = CheckpointStore(spark, wh)
+    legacy = store.read("stage0_turns", "s1").drop("biographee")
+    schema, rows = legacy.schema, legacy.collect()
+    shutil.rmtree(store._snapshot_dir("stage0_turns", "s1"))
+    os.remove(store._lineage_path("stage0_turns", "s1"))
+    store.commit(spark.createDataFrame(rows, schema), "stage0_turns", "s1")
+    assert "biographee" not in store.read("stage0_turns", "s1").columns
+
+    inc = IncrementalPipeline(spark, wh, base_snapshot="s1", snapshot_id="s2").run(
+        delta_t, rescan="exact"
+    )
+    # the fixture split rescans at least one historical conversation
+    excluded = {r["conv_id"] for r in store.read("excluded_convs", "s2").collect()}
+    delta_ids = {r["conv_id"] for r in delta_t.select("conv_id").distinct().collect()}
+    assert excluded - delta_ids, "no historical conversation was rescanned"
+
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(inc, full)
+
+
 def test_incremental_resume_skips_committed(spark, tmp_path):
     fixture = fx.make_fixture(n_convs=10, seed=9)
     base_t, delta_t = _split_convs(spark, fixture, 7)

@@ -231,7 +231,9 @@ def test_indexed_falls_back_without_index(spark, tmp_path):
     Pipeline(spark, wh, snapshot_id="s1").run(base_t)
     pipe = IncrementalPipeline(spark, wh, "s1", "s2")
     os.remove(pipe.store._lineage_path("turn_grams", "s1"))
-    assert not pipe._chain_has("turn_grams", "s1")
+    from information_extraction_from_biographies_spark.plans.incremental import chain_has
+
+    assert not chain_has(pipe.store, "turn_grams", "s1")
     inc = pipe.run(delta_t, rescan="indexed")
     full = Pipeline(spark, str(tmp_path / "f"), snapshot_id="f1").run(
         fx.transcripts_sdf(spark, fixture)

@@ -160,6 +160,53 @@ def test_rescan_over_pre_threading_base_chain(spark, tmp_path):
     _assert_equal_results(inc, full)
 
 
+def test_compaction_heals_pre_threading_chain(spark, tmp_path):
+    """compact_snapshot over a chain with a legacy (pre-threading)
+    stage0_turns member rewrites the FULL upgraded view — the compacted
+    base carries the threaded ``biographee`` column natively, so the
+    read-boundary upgrade retires and later deltas see one schema."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        compact_snapshot,
+    )
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    fixture = fx.make_fixture(n_convs=12, seed=11)
+    base_t, delta_t = _split_convs(spark, fixture, 8)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+
+    import os
+    import shutil
+
+    store = CheckpointStore(spark, wh)
+    legacy = store.read("stage0_turns", "s1").drop("biographee")
+    schema, rows = legacy.schema, legacy.collect()
+    shutil.rmtree(store._snapshot_dir("stage0_turns", "s1"))
+    os.remove(store._lineage_path("stage0_turns", "s1"))
+    store.commit(spark.createDataFrame(rows, schema), "stage0_turns", "s1")
+
+    IncrementalPipeline(spark, wh, base_snapshot="s1", snapshot_id="s2").run(
+        delta_t, rescan="exact"
+    )
+    compact_snapshot(store, "s2", "c1")
+    compacted = store.read("stage0_turns", "c1")
+    assert "biographee" in compacted.columns
+    # turn-0 rows carry the backfilled biographee, exactly the threaded shape
+    n_bio = compacted.filter(
+        (F.col("turn_idx") == 0) & F.col("biographee").isNotNull()
+    ).count()
+    assert n_bio == compacted.filter(F.col("turn_idx") == 0).count()
+    # and the compacted triples still match the batch recompute
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    assert _rows(store.read("stage2_triples", "c1")) == _rows(
+        full.tables["triples"]
+    )
+
+
 def test_incremental_resume_skips_committed(spark, tmp_path):
     fixture = fx.make_fixture(n_convs=10, seed=9)
     base_t, delta_t = _split_convs(spark, fixture, 7)

@@ -454,6 +454,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     audit: bool = True,
+    token_mode: str = "ws",
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The composed corpus→training-export path: PII scrub →
     decontaminate (when a contamination set is given) → exact dedup →
@@ -541,11 +542,18 @@ def curate_corpus(
     else:
         sampled = deduped
 
+    # token_mode: the unit of the packing budget. "ws" (default) is the
+    # space-delimited-corpus surface; on CJK text (the reference's
+    # domain, no spaces) whitespace tokens are ~1/doc and the budget is
+    # meaningless — pass token_mode="cjk" there (textstats.token_count).
     toks = token_count(
-        sampled.select(F.col(id_col).alias("doc_id"), text_col), text_col=text_col
+        sampled.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col=text_col,
+        mode=token_mode,
     )
+    tok_col = "ws_tokens" if token_mode == "ws" else "n_tokens"
     packed = pack_sequences(
-        toks.select("doc_id", F.col("ws_tokens").alias("n_tokens")),
+        toks.select("doc_id", F.col(tok_col).alias("n_tokens")),
         budget=budget,
         id_col="doc_id",
     )

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.window import Window
 
@@ -123,19 +123,29 @@ def _cap_bucket(banded: DataFrame, keys: list[str], cap: int | None) -> DataFram
     return banded.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= cap).drop("_rk")
 
 
-def lsh_candidate_pairs(
-    profiles: DataFrame, bands: int = 8, cap: int | None = 1000
-) -> DataFrame:
-    """Band the minhash signature and self-join on (band, bucket) →
-    candidate near-duplicate pairs (doc1 < doc2), distinct.
+def _band_keys(bands: int) -> Column:
+    """Array of per-band bucket keys over ``sig`` — the band's raw
+    signature slice, ':'-joined (an equi-join key DuckDB reproduces
+    verbatim). One construction shared by lsh_candidate_pairs /
+    lsh_star_edges / dedup_incremental.band_rows.
 
-    The bucket key is the band's raw signature slice (concat string) — an
-    equi-join key that DuckDB reproduces verbatim (no re-hash). The sig
-    length is fixed by minhash_profiles(num_hashes); bands must divide
-    it (slice width derived from the array size at runtime). All bands
-    come out of ONE scan via posexplode, not a bands-way union."""
-    width = (F.size("sig") / bands).cast("int")
-    band_keys = F.array(
+    ``bands`` must divide the signature length, enforced with a row-level
+    raise at execution: the old truncating ``size/bands`` silently
+    dropped the signature tail for non-divisors (recall loss with no
+    error), and ``bands > len(sig)`` made every key an empty string — one
+    global bucket, quadratic candidates arbitrarily truncated by the
+    cap."""
+    size = F.size("sig")
+    width = F.when(size % bands == 0, (size / bands).cast("int")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "LSH bands=%s must divide the signature length (got %s hashes)",
+                F.lit(str(bands)),
+                size.cast("string"),
+            )
+        )
+    )
+    return F.array(
         *[
             F.array_join(
                 F.transform(
@@ -147,7 +157,22 @@ def lsh_candidate_pairs(
             for band in range(bands)
         ]
     )
-    banded = profiles.select("doc_id", F.posexplode(band_keys).alias("band", "bucket"))
+
+
+def lsh_candidate_pairs(
+    profiles: DataFrame, bands: int = 8, cap: int | None = 1000
+) -> DataFrame:
+    """Band the minhash signature and self-join on (band, bucket) →
+    candidate near-duplicate pairs (doc1 < doc2), distinct.
+
+    The bucket key is the band's raw signature slice (concat string) — an
+    equi-join key that DuckDB reproduces verbatim (no re-hash). The sig
+    length is fixed by minhash_profiles(num_hashes); bands must divide
+    it (checked at execution — see _band_keys). All bands come out of
+    ONE scan via posexplode, not a bands-way union."""
+    banded = profiles.select(
+        "doc_id", F.posexplode(_band_keys(bands)).alias("band", "bucket")
+    )
     banded = _cap_bucket(banded, ["band", "bucket"], cap)
     left = banded.select("band", "bucket", F.col("doc_id").alias("doc1"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("doc2"))
@@ -234,20 +259,9 @@ def lsh_star_edges(
     clusters transitively, which is what a 100-TB dedup actually needs —
     measured on a 200k-doc corpus with 100-member dup clusters the
     all-pairs verify was 11.8M pairs / 235s vs ~200k star edges."""
-    width = (F.size("sig") / bands).cast("int")
-    band_keys = F.array(
-        *[
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), F.lit(1) + F.lit(band) * width, width),
-                    lambda x: x.cast("string"),
-                ),
-                ":",
-            )
-            for band in range(bands)
-        ]
+    banded = profiles.select(
+        "doc_id", F.posexplode(_band_keys(bands)).alias("band", "bucket")
     )
-    banded = profiles.select("doc_id", F.posexplode(band_keys).alias("band", "bucket"))
     banded = _cap_bucket(banded, ["band", "bucket"], cap)
     w = Window.partitionBy("band", "bucket")
     return (

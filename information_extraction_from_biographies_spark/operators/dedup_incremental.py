@@ -43,27 +43,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.window import Window
 
-from .dedup import _cap_bucket
+from .dedup import _band_keys, _cap_bucket
 
 
 def band_rows(profiles: DataFrame, bands: int = 8) -> DataFrame:
     """(band, bucket, doc_id) — one row per signature band, bucket key =
     the band's raw signature slice (same key construction as
-    lsh_candidate_pairs/lsh_star_edges; one scan via posexplode)."""
-    width = (F.size("sig") / bands).cast("int")
-    band_keys = F.array(
-        *[
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), F.lit(1) + F.lit(band) * width, width),
-                    lambda x: x.cast("string"),
-                ),
-                ":",
-            )
-            for band in range(bands)
-        ]
+    lsh_candidate_pairs/lsh_star_edges — shared _band_keys, incl. the
+    bands-divides-signature check; one scan via posexplode)."""
+    return profiles.select(
+        "doc_id", F.posexplode(_band_keys(bands)).alias("band", "bucket")
     )
-    return profiles.select("doc_id", F.posexplode(band_keys).alias("band", "bucket"))
 
 
 def incremental_minhash_dedup(

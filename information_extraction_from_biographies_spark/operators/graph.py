@@ -27,7 +27,14 @@ def nodes_table(people: DataFrame, aliases: DataFrame, entities: DataFrame) -> D
     = alias`` over Alias_s, Graph.py:12-13) — Mongo insertion order,
     which is not reproducible. Deterministic equivalent: max alias per
     type (last under sorted order), so the map key is unique by
-    construction at any corpus scale."""
+    construction at any corpus scale.
+
+    The internal 親屬關係暫存 pseudo-alias stays IN the attrs map on
+    purpose: the reference never removes it from Alias_s after restoring
+    it into relations (Relationship.py:24-33 inserts, no $pull), so its
+    committed GraphML declares the 親屬關係暫存 node key and exports the
+    packed value alongside the restored kinship edge — load-bearing
+    parity, not a leak."""
     attr = (
         aliases.groupBy("name", "alias_type")
         .agg(F.max("alias").alias("alias"))

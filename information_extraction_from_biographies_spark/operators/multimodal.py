@@ -99,12 +99,15 @@ def image_features(media: DataFrame, codec: FakeCodec | None = None) -> DataFram
 
 def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
     """Decode → nearest-neighbour resize → re-encode as raw bytes.
-    (media_id, payload binary, meta) — same media schema shape out."""
+    (media_id, payload binary, meta) — same media schema shape out, with
+    meta.width/height REWRITTEN to the output dimensions (without them
+    the resized payload is undecodable: nothing else records that the
+    raw bytes are now out_w×out_h)."""
     codec = FakeCodec()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, payloads, metas = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 8)
                 h = int(meta["height"] or 8)
@@ -114,12 +117,21 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
                 small = img[ys, xs]
                 ids.append(mid)
                 payloads.append(small.astype(np.uint8).tobytes())
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+                metas.append({**dict(meta), "width": out_w, "height": out_h})
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
 
     return (
         media.filter(F.col("kind") == "image")
         .select("media_id", "payload", "meta")
-        .mapInPandas(_resize, schema="media_id long, payload binary")
+        .mapInPandas(
+            _resize,
+            schema=(
+                "media_id long, payload binary, "
+                "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+            ),
+        )
     )
 
 

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.clauses import split_clauses_with_positions
 from ..functions.grouped import grouped_map, ordered_group
-from ..functions.extraction import KIN_TEMP_TYPE
 from ..functions.matcher import SurfaceIndexHandle
 
 _SCAN_SCHEMA = "conv_id string, kind string, pos int, person string, surface string"

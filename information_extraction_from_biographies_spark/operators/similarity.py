@@ -28,7 +28,13 @@ def _dot(a, b):
 
 
 def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide, not /: a zero-norm vector (padding rows, failed encodes
+    # — routine in a real embedding corpus) makes the denominator 0, and
+    # under Spark 4's default ANSI mode a plain division would fail the
+    # WHOLE query for one degenerate row. NULL cosine sorts last under
+    # the rank windows (desc ordering), i.e. zero vectors simply never
+    # make top-k.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -284,6 +290,32 @@ def _assign_centroids_pandas(embeddings: DataFrame, cents: list[list[float]]) ->
     return embeddings.mapInPandas(_assign, schema=f"{fields}, c int")
 
 
+def _fs_write_text(spark, path_str: str, text: str) -> None:
+    """Write a small driver-side text file through the Hadoop FS API, so
+    the sidecar lands wherever the index parquet does (hdfs://, s3a://,
+    file:// — a local open() broke the persisted index on any non-local
+    filesystem, after the expensive vector write had already succeeded)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path_str: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def ivf_build(
     embeddings: DataFrame,
     path: str,
@@ -299,7 +331,6 @@ def ivf_build(
     nprobe directories of the index (verified in tests via the scan's
     partition filters)."""
     import json
-    import os
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
     if len(cents) * len(cents[0]) <= 4096:
@@ -307,8 +338,9 @@ def ivf_build(
     else:
         assigned = _assign_centroids_pandas(embeddings, cents)
     assigned.write.mode("overwrite").partitionBy("c").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(cents, f)
+    _fs_write_text(
+        embeddings.sparkSession, f"{path}/_centroids.json", json.dumps(cents)
+    )
     return cents
 
 
@@ -323,12 +355,10 @@ def ivf_query(
     inverted lists — a partition-pruned scan (only those ``c=`` dirs are
     read) — exact cosine + rank inside them."""
     import json
-    import os
 
     import numpy as np
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cents = json.load(f)
+    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
     carr = np.asarray(cents, dtype=float)
     q_rows = queries.collect()  # query batch is small/broadcast-sized by contract
 
@@ -336,15 +366,15 @@ def ivf_query(
         d = ((carr - np.asarray(qv, dtype=float)) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d)[:nprobe]]
 
+    # probe ids per query computed ONCE on the driver — they feed both
+    # the probe frame and the partition filter (the old code re-derived
+    # `needed` with a distinct+collect Spark job over data just built here)
+    per_query = [(r, probes_for(r["query_vec"])) for r in q_rows]
     probe_df = spark.createDataFrame(
-        [
-            (r["query_id"], list(r["query_vec"]), c)
-            for r in q_rows
-            for c in probes_for(r["query_vec"])
-        ],
+        [(r["query_id"], list(r["query_vec"]), c) for r, cs in per_query for c in cs],
         "query_id long, query_vec array<double>, c int",
     )
-    needed = sorted({int(r["c"]) for r in probe_df.select("c").distinct().collect()})
+    needed = sorted({c for _, cs in per_query for c in cs})
     inv = spark.read.parquet(path).filter(F.col("c").isin(needed))
     joined = inv.join(F.broadcast(probe_df), "c")
     scored = joined.select(

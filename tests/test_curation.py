@@ -598,3 +598,27 @@ def test_pack_sequences_budget_over_zh_fixtures(spark):
     # the ws unit really is degenerate on this corpus
     ws = token_count(docs, mode="ws")
     assert all(r["ws_tokens"] == 1 for r in ws.collect())
+
+
+def test_curate_corpus_token_mode_cjk(spark):
+    """curate_corpus(token_mode='cjk') packs spaceless Chinese documents
+    under the budget in CJK-token units; the default ws unit counts every
+    such doc as ~1 token and the budget constrains nothing."""
+    from information_extraction_from_biographies_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    zh = ["王安石字介甫", "號半山臨川人", "慶曆二年進士", "神宗熙寧二年",
+          "拜參知政事推行新法", "世稱王荊公", "卒諡文", "著有臨川集"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(zh)], "doc_id long, text string"
+    )
+    _, packed, _ = curate_corpus(docs, budget=9, audit=False, token_mode="cjk")
+    per_pack = {
+        r["pack_id"]: r["pack_tokens"]
+        for r in packed.select("pack_id", "pack_tokens").distinct().collect()
+    }
+    assert per_pack and all(v <= 9 for v in per_pack.values())
+    # ws mode really would be degenerate here: one giant pack
+    _, packed_ws, _ = curate_corpus(docs, budget=9, audit=False)
+    assert packed_ws.select("pack_id").distinct().count() == 1

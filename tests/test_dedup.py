@@ -328,3 +328,19 @@ def test_repetition_stats_python_oracle(spark):
             glen = max(len(t) for t, c in g.items() if c == cnt)
             exp_top = min(cnt * (glen - 1) / sum(map(len, words)), 1.0)
         assert got[i]["top2gram_char_frac"] == pytest.approx(exp_top), i
+
+
+def test_lsh_bands_must_divide_signature(spark):
+    """Non-divisor band counts raise instead of silently truncating the
+    signature tail (recall loss) or, for bands > len(sig), collapsing
+    every doc into one width-0 bucket."""
+    docs = spark.createDataFrame(
+        [(i, f"some shingled text number {i} with enough length") for i in range(4)],
+        "doc_id long, text string",
+    )
+    profiles = dedup.minhash_profiles(docs, n=5, num_hashes=32)
+    for bad in (5, 48):
+        with pytest.raises(Exception, match="must divide"):
+            dedup.lsh_candidate_pairs(profiles, bands=bad).collect()
+    # divisors still work
+    assert dedup.lsh_candidate_pairs(profiles, bands=16).count() >= 0

@@ -315,3 +315,63 @@ def test_zhconv_preexisting_pua_placeholders_stripped():
     out = s2t(hostile)
     assert _S2T_ORDER[0] not in out  # placeholder did not resurrect a phrase
     assert out == s2t("后来发展")  # equivalent to the clean input
+
+
+def _ref_filter_by_date(val, op, year, month, day):
+    """Line-for-line port of the reference's filter_biography_by_date
+    (Biographee_Info.py:91-114): zip-shortest over the ROW's dotted
+    components, int() failure on a REACHED component excludes, all-equal
+    falls through to relate(1,1)."""
+    import operator as _op
+
+    relate = {">": _op.gt, "<": _op.lt, "=": _op.eq, ">=": _op.ge, "<=": _op.le}[op]
+    if val is None:
+        return False
+    for left, right in zip(val.split("."), [year, month, day]):
+        if right is not None:
+            try:
+                left = int(left)
+            except Exception:
+                return False
+            if left == right:
+                continue
+            elif relate(left, right):
+                return True
+            else:
+                return False
+    return relate(1, 1)
+
+
+def test_componentwise_date_matches_reference(spark):
+    """componentwise_date_predicate == the reference simulator on
+    adversarial rows: missing components (zip-shortest: equal), an
+    unparsable component that the compare REACHES (excluded), one it
+    never reaches (ignored), empty components, None."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from information_extraction_from_biographies_spark.operators.biographee import (
+        componentwise_date_predicate,
+    )
+
+    vals = [
+        "1900", "1900.05", "1900.05.10", "1900.ab", "1899.12.31", "1901",
+        "1900.04", "1900.06", "1900.05.09", "1900.05.11", "abcd", None,
+        "1900.", "1900..05", "1900.05.xx", "1905.ab.10",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, d string"
+    )
+    cases = [
+        (">=", 1900, 5, None), (">", 1900, 5, None), ("<=", 1900, 5, None),
+        ("=", 1900, 5, 10), ("<", 1900, None, None), ("=", 1900, None, None),
+        (">", 1899, 12, 30), ("<=", 1905, 1, None),
+    ]
+    for op, y, m, d in cases:
+        got = {
+            r["i"]
+            for r in df.filter(
+                componentwise_date_predicate(F.col("d"), op, y, m, d)
+            ).collect()
+        }
+        want = {i for i, v in enumerate(vals) if _ref_filter_by_date(v, op, y, m, d)}
+        assert got == want, (op, y, m, d, sorted(got), sorted(want))

@@ -40,3 +40,15 @@ def test_decode_audio_is_float64():
     pcm = mm.FakeCodec().decode_audio(bytes([0, 255, 128]), 16000)
     assert pcm.dtype == np.float64
     assert pcm[0] == (0 - 127.5) / 127.5 and pcm[1] == (255 - 127.5) / 127.5
+
+
+def test_resize_meta_carries_output_dims(spark):
+    """resize_images keeps the media schema shape: meta rides along with
+    width/height REWRITTEN to the output dims — without them the resized
+    raw bytes are undecodable (nothing else records the new geometry)."""
+    out = mm.resize_images(mm.synth_media(spark, n=12), out_w=4, out_h=4).collect()
+    assert out
+    for r in out:
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["sample_rate"] is None  # image rows, untouched fields
+        assert len(r["payload"]) == 16

@@ -229,6 +229,10 @@ def get_continuous_child_names(text: str, kinship: str) -> tuple[set, set]:
 def prepend_family_name(items: set, family_name: str | None) -> set:
     """Family-name prepend with 💗 / 原形 quirks (NER.py:415-447)."""
     if family_name is None:
+        # unchanged INCLUDING any 💗 sentinel — the reference's early
+        # return (NER.py:416-418) keeps the heart too, so such names are
+        # later dropped by the surname filters on both sides; stripping
+        # it here would diverge from the reference's emitted name set
         return items
     result: set = set()
     for el in items:
@@ -282,7 +286,10 @@ def get_names_child_and_spouse(text: str, biographee: str) -> tuple[set, set]:
         boy_names |= n
         boy_tuples |= t
 
-    # 育有-driven enumerated form (NER.py:327-351)
+    # 育有-driven enumerated form (NER.py:327-351). The two outer elif
+    # arms are unreachable (the first `or` test subsumes them) — in the
+    # REFERENCE too (NER.py:340-343); the dead shape is mirrored
+    # deliberately rather than "fixed" into a different decision table.
     m = re.search(r"育有\w+?[，。：（]", paragraph)
     not_found = None
     if m is not None:

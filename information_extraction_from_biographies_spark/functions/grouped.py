@@ -45,14 +45,19 @@ def iter_key_groups(
     closed: set = set()
 
     def _close_and_yield(frame: pd.DataFrame):
-        for k, g in frame.groupby(key, sort=False):
-            if k in closed:
+        # dropna=False: Spark's groupBy().applyInPandas delivers a
+        # null-key group like any other; pandas' default dropna=True
+        # would silently discard every null-key row instead (no error —
+        # the rows never reach the closed-set guard)
+        for k, g in frame.groupby(key, sort=False, dropna=False):
+            ck = None if pd.isna(k) else k  # NaN != NaN breaks set membership
+            if ck in closed:
                 raise RuntimeError(
                     f"iter_key_groups: key {k!r} recurred non-contiguously — "
                     f"input is not sorted by {key!r} within the partition "
                     "(pre_sorted contract violated)"
                 )
-            closed.add(k)
+            closed.add(ck)
             yield g
 
     for pdf in batches:
@@ -61,7 +66,9 @@ def iter_key_groups(
         if not len(pdf):
             continue
         last = pdf[key].iloc[-1]
-        mask = pdf[key] == last
+        # null-safe boundary mask (== never matches None/NaN, which would
+        # close a null-key group mid-chunk and trip the recurrence guard)
+        mask = pdf[key].isna() if pd.isna(last) else (pdf[key] == last)
         pending = pdf[mask]
         work = pdf[~mask]
         if len(work):

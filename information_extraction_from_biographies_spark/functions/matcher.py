@@ -276,15 +276,9 @@ class _FileGetter:
         self._version = version
 
     def __call__(self) -> "SurfaceIndex":
-        idx = _WORKER_INDEX_CACHE.get(self._version)
-        if idx is None:
-            while len(_WORKER_INDEX_CACHE) >= _WORKER_INDEX_CACHE_MAX:
-                _WORKER_INDEX_CACHE.popitem(last=False)
-            idx = SurfaceIndex(_read_surface_rows(self._path))
-            _WORKER_INDEX_CACHE[self._version] = idx
-        else:
-            _WORKER_INDEX_CACHE.move_to_end(self._version)
-        return idx
+        return _cache_get_or_build(
+            self._version, lambda: SurfaceIndex(_read_surface_rows(self._path))
+        )
 
 
 def _read_surface_rows(path: str) -> list[tuple[str, str, str]]:
@@ -306,18 +300,26 @@ _WORKER_INDEX_CACHE: "OrderedDict[str, SurfaceIndex]" = OrderedDict()
 _WORKER_INDEX_CACHE_MAX = 4
 
 
-def cached_index(broadcast) -> SurfaceIndex:
-    """Worker-side: build-or-fetch the automaton for a broadcast handle.
-    Survives across tasks via python worker reuse. LRU eviction (oldest
-    first, never the version being requested) so >4 live broadcast handles
-    sharing a worker pool don't thrash full rebuilds."""
-    version, rows = broadcast.value
+def _cache_get_or_build(version: str, builder) -> SurfaceIndex:
+    """One LRU protocol for BOTH index-distribution paths (broadcast and
+    registry-file): get-or-build keyed by version, evict oldest first,
+    never the version being requested — a policy change can't silently
+    apply to only one path."""
     idx = _WORKER_INDEX_CACHE.get(version)
     if idx is None:
         while len(_WORKER_INDEX_CACHE) >= _WORKER_INDEX_CACHE_MAX:
             _WORKER_INDEX_CACHE.popitem(last=False)  # least recently used
-        idx = SurfaceIndex(rows)
+        idx = builder()
         _WORKER_INDEX_CACHE[version] = idx
     else:
         _WORKER_INDEX_CACHE.move_to_end(version)
     return idx
+
+
+def cached_index(broadcast) -> SurfaceIndex:
+    """Worker-side: build-or-fetch the automaton for a broadcast handle.
+    Survives across tasks via python worker reuse. LRU eviction so >4
+    live broadcast handles sharing a worker pool don't thrash full
+    rebuilds."""
+    version, rows = broadcast.value
+    return _cache_get_or_build(version, lambda: SurfaceIndex(rows))

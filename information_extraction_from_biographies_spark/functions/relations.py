@@ -226,8 +226,8 @@ def extract_relations_for_conv(
             if dep is None:
                 dep = dep_cache[line] = build_dep_dict(line, lex_index)
             result = relation_cascade(dep, biographee, surface)
-            if isinstance(result, list):
-                raw.extend(result)
-            else:
-                raw.extend(result)  # sentinel string extends char-wise (quirk)
+            # one extend for both types: a list extends element-wise, the
+            # sentinel STRING extends char-wise — the reference's
+            # relations.extend(<str>) quirk, preserved deliberately
+            raw.extend(result)
     return filter_relations(raw)

@@ -28,7 +28,6 @@ import re
 
 from ..gazetteers import ERA_NAMES
 
-_ERA_ALT = "|".join("({})".format(e) for e in ERA_NAMES)
 _START_RE = re.compile(r"({})\d+年".format("|".join(ERA_NAMES)))
 _END_RE = re.compile(r"。|([^到至]({}))\d+年".format("|".join(ERA_NAMES)))
 _WESTERN_YEAR_RE = re.compile(r"19\d{2}|20\d{2}")

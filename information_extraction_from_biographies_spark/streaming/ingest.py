@@ -55,7 +55,20 @@ def latest_snapshot(warehouse: str, base: str) -> str:
             with open(os.path.join(inc_dir, name), encoding="utf-8") as f:
                 parents[name[: -len(".json")]] = json.load(f)["parent"]
     tip = base
-    children = {p: s for s, p in parents.items()}
+    children: dict[str, str] = {}
+    for s, p in parents.items():
+        if p in children:
+            # two snapshots chained on one parent = a forked history; the
+            # dict comprehension this replaced kept an ARBITRARY child
+            # (listdir order), so successive restarts could resolve
+            # different tips and full_view would silently drop the other
+            # branch's conversations. Ambiguity must stop ingestion.
+            raise ValueError(
+                f"branched snapshot chain: {children[p]!r} and {s!r} both "
+                f"have parent {p!r}; compact or expire one branch before "
+                "resuming ingestion"
+            )
+        children[p] = s
     seen = {tip}
     while tip in children:
         tip = children[tip]

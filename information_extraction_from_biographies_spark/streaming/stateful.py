@@ -51,8 +51,17 @@ def incremental_conv_mentions(
             max_turn, seen = -1, set()
 
         out_rows = []
-        for pdf in pdfs:
-            ordered = pdf.sort_values("turn_idx")
+        # concat THEN sort: applyInPandasWithState delivers the group as
+        # chunks with no cross-chunk order promise — sorting each chunk
+        # independently would pin first_turn_idx to whichever chunk came
+        # first, not the conversation's actual first mentioning turn
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            ordered = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("turn_idx")
             for turn_idx, text in zip(ordered["turn_idx"], ordered["text"]):
                 if not isinstance(text, str):
                     continue

@@ -251,3 +251,34 @@ def test_pipeline_range_partitioner_end_to_end(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="group_partitioner"):
         Pipeline(spark, str(tmp_path / "bad"), group_partitioner="zip")
+
+
+def test_iter_key_groups_keeps_null_key_rows():
+    """Null group keys mirror Spark's applyInPandas semantics (a null-key
+    group like any other) — pandas' default groupby(dropna=True) silently
+    DISCARDED those rows, and the == boundary mask (never true for None)
+    closed a null group mid-chunk and tripped the recurrence guard."""
+    import pandas as pd
+
+    from information_extraction_from_biographies_spark.functions.grouped import (
+        iter_key_groups,
+    )
+
+    def batches(frames):
+        return iter([pd.DataFrame(f) for f in frames])
+
+    # nulls sort first in the partition order; the group spans a chunk
+    got = list(
+        iter_key_groups(
+            batches([
+                {"conv_id": [None, None], "x": [1, 2]},
+                {"conv_id": [None, "a"], "x": [3, 4]},
+                {"conv_id": ["a", "b"], "x": [5, 6]},
+            ]),
+            key="conv_id",
+        )
+    )
+    keys = [g["conv_id"].iloc[0] for g in got]
+    assert pd.isna(keys[0]) and keys[1:] == ["a", "b"]
+    assert [len(g) for g in got] == [3, 2, 1]
+    assert sorted(got[0]["x"]) == [1, 2, 3]  # no null-key row lost

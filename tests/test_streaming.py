@@ -98,3 +98,29 @@ def test_streaming_exact_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     texts = sorted(r["text"] for r in out)
     assert texts == ["same payload", "unique one", "unique two"]
     assert all(len(r["content_hash"]) == 32 for r in out)
+
+
+def test_latest_snapshot_raises_on_branched_chain(tmp_path):
+    """Two snapshots chained on one parent fork the history; the tip
+    resolver must refuse (the old dict comprehension kept an ARBITRARY
+    child, so restarts could chain onto different branches)."""
+    import json
+    import os
+
+    import pytest
+
+    from information_extraction_from_biographies_spark.streaming.ingest import (
+        latest_snapshot,
+    )
+
+    wh = str(tmp_path / "wh")
+    inc = os.path.join(wh, "_incremental")
+    os.makedirs(inc)
+    with open(os.path.join(inc, "b1.json"), "w") as f:
+        json.dump({"parent": "s0"}, f)
+    # linear chain resolves
+    assert latest_snapshot(wh, "s0") == "b1"
+    with open(os.path.join(inc, "x1.json"), "w") as f:
+        json.dump({"parent": "s0"}, f)
+    with pytest.raises(ValueError, match="branched"):
+        latest_snapshot(wh, "s0")

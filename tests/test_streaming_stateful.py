@@ -46,3 +46,41 @@ def test_incremental_mentions_dedup_across_batches(spark, tmp_path):
     # first_turn_idx is the first batch-order turn containing the person
     for r in rows:
         assert r.first_turn_idx == first_turn[(r.conv_id, r.person)]
+
+
+def test_first_turn_correct_when_group_spans_chunks(spark, tmp_path):
+    """applyInPandasWithState delivers a big group as MULTIPLE pandas
+    chunks with no cross-chunk order; first_turn_idx must be the
+    conversation's true first mentioning turn, not the minimum of
+    whichever chunk happened to arrive first (rows are written in
+    DESCENDING turn order so the real first turn lands in the LAST
+    chunk)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_from_biographies_spark.functions.matcher import (
+        SurfaceIndexHandle,
+    )
+
+    rows = [("c1", t, f"第{t}回提到陳大明先生") for t in range(40)]
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    d = tmp_path / "landing"
+    d.mkdir()
+    (
+        sdf.coalesce(1)
+        .sortWithinPartitions(F.desc("turn_idx"))
+        .write.parquet(str(d / "b1"))
+    )
+
+    index = SurfaceIndexHandle(spark, [("陳大明", "陳大明", "name")])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = stage1.read_transcript_stream(spark, str(d) + "/*", max_files_per_trigger=1)
+        out = stateful.incremental_conv_mentions(stream, index, ttl_minutes=0)
+        stage1.run_available_now(out, str(tmp_path / "ckpt"), "chunked_mentions")
+        got = spark.sql("SELECT * FROM chunked_mentions").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert [(r.conv_id, r.person, r.first_turn_idx) for r in got] == [
+        ("c1", "陳大明", 0)
+    ]

@@ -94,7 +94,9 @@ from .pipeline import (
     BUCKET_KEYS,
     VOCAB_BUCKET_KEYS,
     PipelineResult,
+    bucket_args,
     pin_bucketed_scan_conf,
+    resolve_buckets,
 )
 
 # corpus-scale tables are delta-committed with chain-resolved reads; the
@@ -343,13 +345,15 @@ def compact_snapshot(
             n = vocab_n
         else:
             n = buckets if buckets is not None else auto_bucket_count(view)
-        bucket_args = {"bucket_keys": key, "buckets": n} if key and n else {}
+        # per-table count (vocab tables share vocab_n), so this is NOT
+        # pipeline.bucket_args — name kept distinct to avoid shadowing it
+        commit_bucketing = {"bucket_keys": key, "buckets": n} if key and n else {}
         store.commit(
             view,
             t,
             new_snapshot,
             input_snapshots={t: snapshot_id},
-            **bucket_args,
+            **commit_bucketing,
         )
         done.append(t)
     if rebuild_index:
@@ -541,14 +545,10 @@ class IncrementalPipeline:
             pin_bucketed_scan_conf(spark)
 
     def _resolve_buckets(self, new_transcripts) -> int:
-        from .pipeline import resolve_buckets
-
         self.buckets = resolve_buckets(self.spark, self.buckets, new_transcripts)
         return self.buckets
 
     def _bucket_args(self, name: str) -> dict:
-        from .pipeline import bucket_args
-
         return bucket_args(name, self.buckets)
 
     def _cow_buckets(self) -> int:

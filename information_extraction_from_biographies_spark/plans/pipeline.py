@@ -286,10 +286,7 @@ class Pipeline:
             )
         self.group_partitioner = group_partitioner
         if buckets is not None and buckets > 0:
-            self._pin_bucketed_scan_conf()
-
-    def _pin_bucketed_scan_conf(self) -> None:
-        pin_bucketed_scan_conf(self.spark)
+            pin_bucketed_scan_conf(self.spark)
 
     def _resolve_buckets(self, transcripts: DataFrame) -> int:
         self.buckets = resolve_buckets(self.spark, self.buckets, transcripts)

@@ -15,6 +15,8 @@ import re
 from dataclasses import dataclass, field
 
 from ..gazetteers import (
+    DEFAULT_LEXICONS,
+    Lexicons,
     ALIAS_TYPES,
     BIG_BROTHER_CHARS,
     BIG_BROTHER_ORDER,
@@ -26,14 +28,11 @@ from ..gazetteers import (
     MAN_SPOUSE_CHARS,
     MONK_SUFFIXES,
     NAME_BLOCKLIST,
-    NAME_SURNAMES,
     OTHER_PARENT_CHARS,
-    PLACE_NAMES,
     SMALL_BROTHER_CHARS,
     SMALL_BROTHER_ORDER,
     SMALL_SISTER_CHARS,
     SMALL_SISTER_ORDER,
-    SURNAMES,
     WOMAN_PARENT_CHARS,
     WOMAN_SPOUSE_CHARS,
 )
@@ -41,20 +40,12 @@ from ..gazetteers import (
 HEART = "💗"  # no-family-name-prepend marker (NER.py:247-250)
 KIN_TEMP_TYPE = "親屬關係暫存"  # packed (biographee, kinship) alias type (NER.py:172)
 
-# Longest-match deterministic prefix probes (the reference iterates an
-# unordered set — NER.py:261-265; ambiguity never arises in its data,
-# longest-match is the deterministic resolution). Probing a 7,507-surname
-# list per candidate is O(|surnames|); bucketing by length makes it O(max
-# surname length) set lookups — the stage-1/2 hot path.
-def _by_len_sets(words) -> list[tuple[int, frozenset]]:
-    buckets: dict[int, set] = {}
-    for w in words:
-        buckets.setdefault(len(w), set()).add(w)
-    return [(ln, frozenset(ws)) for ln, ws in sorted(buckets.items(), reverse=True)]
-
-
-_SURNAME_SETS = _by_len_sets(SURNAMES)
-_NAME_SURNAME_SETS = _by_len_sets(NAME_SURNAMES)
+# Every kernel takes ``lex: Lexicons`` (length-bucketed longest-first
+# surname/place probe structures, gazetteers.Lexicons) so custom
+# dictionaries loaded from the reference's public file formats
+# (gazetteers.surnames_from_json et al.) travel by value inside the
+# pandas-UDF closures — the reference's jieba-user-dict shipping model
+# (NER.py:8-10), never mutated module globals.
 
 # Dynamic patterns (name/identifier-interpolated) flood the re module's
 # 512-entry global cache, which CLEARS ENTIRELY when full — measured 3.5s
@@ -68,9 +59,9 @@ _ENGLISH_HEAD_RE = re.compile(r"[a-zA-Z ]+")
 _KIN_STOP = r"[是。為，（在、務\(\<\:]"
 
 
-def surname_of(name: str) -> str | None:
+def surname_of(name: str, lex: Lexicons = DEFAULT_LEXICONS) -> str | None:
     """Longest surname prefix, else None (NER.py:261-265)."""
-    for ln, ws in _SURNAME_SETS:
+    for ln, ws in lex.surname_sets:
         if name[:ln] in ws:
             return name[:ln]
     return None
@@ -118,7 +109,9 @@ def extract_title(text: str) -> TitleInfo:
 
 
 # ---------------------------------------------------------------- N3 -----
-def get_kin_name(identifier: str, text: str, kinship: str) -> tuple[set, set]:
+def get_kin_name(
+    identifier: str, text: str, kinship: str, lex: Lexicons = DEFAULT_LEXICONS
+) -> tuple[set, set]:
     """Kin-template name extraction (NER.py:215-258).
 
     Returns (names, alias_tuples); alias tuples with alias=None are the
@@ -127,7 +120,7 @@ def get_kin_name(identifier: str, text: str, kinship: str) -> tuple[set, set]:
     if m is None:
         return set(), set()
     candidate = m.group(2)
-    surname = surname_of(candidate)
+    surname = surname_of(candidate, lex)
     if kinship not in ("女兒", "兒子") and surname is None:
         return set(), set()
     if len(candidate) > 4:
@@ -152,18 +145,20 @@ def get_kin_name(identifier: str, text: str, kinship: str) -> tuple[set, set]:
     return {name}, alias_tuples
 
 
-def get_other_kinship_names(text: str) -> tuple[set, set]:
+def get_other_kinship_names(
+    text: str, lex: Lexicons = DEFAULT_LEXICONS
+) -> tuple[set, set]:
     """Parents/siblings in ¶1; other-parents over the whole text
     (NER.py:178-212)."""
     first_para = text.split("\n\n")[0]
     names: set = set()
     tuples: set = set()
     for chars, kin in ((MAN_PARENT_CHARS, "父"), (WOMAN_PARENT_CHARS, "母")):
-        n, t = get_kin_name("|".join(chars), first_para, kin)
+        n, t = get_kin_name("|".join(chars), first_para, kin, lex)
         names |= n
         tuples |= t
     for other in OTHER_PARENT_CHARS:
-        n, t = get_kin_name(other, text, other)
+        n, t = get_kin_name(other, text, other, lex)
         names |= n
         tuples |= t
     for chars, kin in (
@@ -172,7 +167,7 @@ def get_other_kinship_names(text: str) -> tuple[set, set]:
         (BIG_SISTER_CHARS, "姐"),
         (SMALL_SISTER_CHARS, "妹"),
     ):
-        n, t = get_kin_name("|".join(chars), first_para, kin)
+        n, t = get_kin_name("|".join(chars), first_para, kin, lex)
         names |= n
         tuples |= t
     for orders, kin in (
@@ -182,7 +177,7 @@ def get_other_kinship_names(text: str) -> tuple[set, set]:
         (SMALL_SISTER_ORDER, "妹"),
     ):
         for order in orders:
-            n, t = get_kin_name(order, first_para, kin)
+            n, t = get_kin_name(order, first_para, kin, lex)
             names |= n
             tuples |= t
     return names, tuples
@@ -254,13 +249,15 @@ def prepend_family_name(items: set, family_name: str | None) -> set:
     return result
 
 
-def get_names_child_and_spouse(text: str, biographee: str) -> tuple[set, set]:
+def get_names_child_and_spouse(
+    text: str, biographee: str, lex: Lexicons = DEFAULT_LEXICONS
+) -> tuple[set, set]:
     """Spouse + children in the last two paragraphs (NER.py:267-360)."""
     splits = text.split("\n\n")
     paragraph = "\n\n".join(splits[-2:]) if len(splits) >= 3 else splits[-1]
 
-    man_sp_names, man_sp_tuples = get_kin_name("|".join(MAN_SPOUSE_CHARS), paragraph, "夫")
-    woman_sp_names, woman_sp_tuples = get_kin_name("|".join(WOMAN_SPOUSE_CHARS), paragraph, "妻")
+    man_sp_names, man_sp_tuples = get_kin_name("|".join(MAN_SPOUSE_CHARS), paragraph, "夫", lex)
+    woman_sp_names, woman_sp_tuples = get_kin_name("|".join(WOMAN_SPOUSE_CHARS), paragraph, "妻", lex)
 
     if len(woman_sp_names) == 1:
         is_man = True
@@ -269,20 +266,20 @@ def get_names_child_and_spouse(text: str, biographee: str) -> tuple[set, set]:
     else:
         is_man = True
     if is_man:
-        family_name = surname_of(biographee)
+        family_name = surname_of(biographee, lex)
     else:
-        family_name = surname_of(next(iter(man_sp_names)))
+        family_name = surname_of(next(iter(man_sp_names)), lex)
 
     girl_names: set = set()
     girl_tuples: set = set()
     for order in GIRL_ORDER_CHILD:
-        n, t = get_kin_name(order, paragraph, "女兒")
+        n, t = get_kin_name(order, paragraph, "女兒", lex)
         girl_names |= n
         girl_tuples |= t
     boy_names: set = set()
     boy_tuples: set = set()
     for order in BOY_ORDER_CHILD:
-        n, t = get_kin_name(order, paragraph, "兒子")
+        n, t = get_kin_name(order, paragraph, "兒子", lex)
         boy_names |= n
         boy_tuples |= t
 
@@ -317,11 +314,13 @@ def get_names_child_and_spouse(text: str, biographee: str) -> tuple[set, set]:
     )
 
 
-def get_names_kinship(text: str, biographee: str) -> tuple[set, set]:
+def get_names_kinship(
+    text: str, biographee: str, lex: Lexicons = DEFAULT_LEXICONS
+) -> tuple[set, set]:
     """All kinship names; placeholder tuples packed as
     (name, 親屬關係暫存, "biographee:kinship") (NER.py:161-176)."""
-    cs_names, cs_tuples = get_names_child_and_spouse(text, biographee)
-    ok_names, ok_tuples = get_other_kinship_names(text)
+    cs_names, cs_tuples = get_names_child_and_spouse(text, biographee, lex)
+    ok_names, ok_tuples = get_other_kinship_names(text, lex)
     packed: set = set()
     for name, alias_type, alias in ok_tuples | cs_tuples:
         if alias is None:
@@ -339,12 +338,12 @@ _NER_TRIGGERS = "與和被因為娶偕同跟向稱請邀及暨"
 _TRIGGER_RE = re.compile("[{}]".format(_NER_TRIGGERS))
 
 
-def rule_ner_names(text: str) -> set:
+def rule_ner_names(text: str, lex: Lexicons = DEFAULT_LEXICONS) -> set:
     names: set = set()
     for m in _TRIGGER_RE.finditer(text):
         start = m.end()
         rest = text[start : start + 6]
-        for ln, ws in _SURNAME_SETS:
+        for ln, ws in lex.surname_sets:
             if rest[:ln] in ws:
                 cand = rest[: ln + 2]
                 if len(cand) == ln + 2 and re.fullmatch(r"\w+", cand):
@@ -395,7 +394,7 @@ def segment_names(text: str, dict_index: dict[str, list[str]]) -> set:
 
 
 # ------------------------------------------------------------- F3-F5 -----
-def process_and_filter_names(names: set) -> set:
+def process_and_filter_names(names: set, lex: Lexicons = DEFAULT_LEXICONS) -> set:
     """Name sanity filter + surname acceptance + substring-dominance dedup
     (NER.py:450-485)."""
     first: set = set()
@@ -405,10 +404,10 @@ def process_and_filter_names(names: set) -> set:
             and name[-1] != "寺"
             and name not in NAME_BLOCKLIST
             and re.match("[a-zA-Z]", name) is None
-            and name not in PLACE_NAMES
-            and not (name[-1] == "人" and name[:-1] in PLACE_NAMES)
+            and name not in lex.places
+            and not (name[-1] == "人" and name[:-1] in lex.places)
         ):
-            for ln, ws in _NAME_SURNAME_SETS:
+            for ln, ws in lex.name_surname_sets:
                 if name[:ln] in ws:
                     first.add(name)
                     break
@@ -455,42 +454,45 @@ def get_other_names(text: str, biographee: str) -> set:
 # Python's re. Equivalent and O(max place length): scan 人[，。] anchors in
 # order and set-probe the preceding substring longest-first (= the regex's
 # earliest-start preference among places ending at the same 人).
-_PLACE_SET = frozenset(PLACE_NAMES)
-_PLACE_MAXLEN = max(len(p) for p in PLACE_NAMES)
 _HOMETOWN_ANCHOR_RE = re.compile(r"人[，。]")
 
 
-def extract_hometown(text: str) -> str | None:
+def extract_hometown(text: str, lex: Lexicons = DEFAULT_LEXICONS) -> str | None:
     """First ({place})人[，。] match (Biographee_Info.py:22-28)."""
     for m in _HOMETOWN_ANCHOR_RE.finditer(text):
         end = m.start()
-        for ln in range(min(_PLACE_MAXLEN, end), 0, -1):
-            if text[end - ln : end] in _PLACE_SET:
+        for ln in range(min(lex.place_maxlen, end), 0, -1):
+            if text[end - ln : end] in lex.places:
                 return text[end - ln : end]
     return None
 
 
 # --------------------------------------------------------------- glue ----
 def extract_names_from_conv(
-    text: str, biographee: str | None, user_dict_index: dict | None = None
+    text: str,
+    biographee: str | None,
+    user_dict_index: dict | None = None,
+    lex: Lexicons = DEFAULT_LEXICONS,
 ) -> tuple[set, set]:
     """Stage-1 per-conversation extraction (NER.py:98-129): union the
     channels (N1 dictionary segmentation ∪ N2 rule NER ∪ N3 kinship),
     filter, keep alias tuples whose name survived. ``user_dict_index``:
     a ``build_name_dict_index`` result (the N1 user dictionary,
-    NER.py:8-10); None disables the channel."""
+    NER.py:8-10); None disables the channel. ``lex``: the surname/place
+    gazetteers (gazetteers.Lexicons; load custom ones with
+    ``gazetteers.lexicons_from_tools`` et al.)."""
     names: set = set()
     if biographee:
         names.add(biographee)
     if user_dict_index:
         names |= segment_names(text, user_dict_index)
-    names |= rule_ner_names(text)
+    names |= rule_ner_names(text, lex)
     kin_names: set = set()
     kin_tuples: set = set()
     if biographee:
-        kin_names, kin_tuples = get_names_kinship(text, biographee)
+        kin_names, kin_tuples = get_names_kinship(text, biographee, lex)
     names |= kin_names
-    names = process_and_filter_names(names)
+    names = process_and_filter_names(names, lex)
 
     eng_tuples = get_english_names(text, names)
     other_tuples = get_other_names(text, biographee) if biographee else set()

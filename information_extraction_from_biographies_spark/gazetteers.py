@@ -14,6 +14,9 @@ takes them as input dims, so coverage is a data concern, not a code one.
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 
 # --- Surnames (reference: NER.py:26-30, 507 Chinese + 7000 Japanese) -----
@@ -156,3 +159,133 @@ for _kw in GIRL_ORDER_CHILD + GIRL_CHILD_CHARS:
     _KINSHIP_OF[_kw] = "女兒"
 for _kw in BOY_ORDER_CHILD + BOY_CHILD_CHARS:
     _KINSHIP_OF[_kw] = "兒子"
+
+
+# ------------------------------------------------------- custom lexicons --
+def _by_len_sets(words) -> tuple[tuple[int, frozenset], ...]:
+    """Length-bucketed probe sets, longest first: probing a 7,507-surname
+    list per candidate is O(|surnames|); this makes it O(max word length)
+    set lookups (the stage-1/2 hot path; see functions/extraction.py)."""
+    buckets: dict[int, set] = {}
+    for w in words:
+        if w:
+            buckets.setdefault(len(w), set()).add(w)
+    return tuple((ln, frozenset(ws)) for ln, ws in sorted(buckets.items(), reverse=True))
+
+
+@dataclass(frozen=True)
+class Lexicons:
+    """Picklable bundle of the surname/place gazetteers plus the derived
+    probe structures the extraction kernels need (longest-first length
+    buckets, NAME_SURNAMES = surnames − kinship chars per NER.py:463).
+
+    Build with :meth:`Lexicons.build`. Instances travel INSIDE pandas-UDF
+    closures (the same shipping model as the jieba user dicts the
+    reference loads at NER.py:8-10): workers get the custom dictionaries
+    by value, never via mutated module globals — module-level defaults
+    would silently reset on worker re-import in a real cluster. Full
+    public scale (7,507 surnames + 2,737 places) pickles to well under a
+    megabyte, far below any broadcast concern."""
+
+    surnames: frozenset
+    places: frozenset
+    surname_sets: tuple
+    name_surname_sets: tuple
+    place_maxlen: int
+
+    @staticmethod
+    def build(surnames, places) -> "Lexicons":
+        s, p = frozenset(surnames), frozenset(places)
+        return Lexicons(
+            surnames=s,
+            places=p,
+            surname_sets=_by_len_sets(s),
+            name_surname_sets=_by_len_sets(s - set(KINSHIP_CHARS)),
+            place_maxlen=max((len(x) for x in p), default=0),
+        )
+
+
+DEFAULT_LEXICONS = Lexicons.build(SURNAMES, PLACE_NAMES)
+
+
+# ------------------------------------------------ gazetteer file loaders --
+# The reference loads its public dictionaries from JSON string arrays
+# (NER.py:26-34: Hundred-Family-Surnames.json, Japanese-Surnames-in-zhTW
+# .json, Taiwanese/Mainland-Place-Names.json) and jieba user-dict text
+# files of `word [freq] [tag]` lines (NER.py:8-10; written by
+# Convert_And_Extract.py:100-102 as `name nr`). These loaders accept those
+# exact formats. Reads go through spark.read.text (the Hadoop FS API), so
+# hdfs:// / s3a:// paths work on a real cluster; the files are
+# dimension-scale (<1 MB), so a driver-side collect is the right plan.
+
+
+def _read_whole_text(spark: SparkSession, path: str) -> str:
+    rows = spark.read.text(path, wholetext=True).collect()
+    return "\n".join(r[0] for r in rows)
+
+
+def load_json_list(spark: SparkSession, path: str) -> list[str]:
+    """One reference-format gazetteer file: a JSON array of strings."""
+    data = json.loads(_read_whole_text(spark, path))
+    if not isinstance(data, list) or not all(isinstance(x, str) for x in data):
+        raise ValueError(f"{path}: expected a JSON array of strings")
+    return data
+
+
+def surnames_from_json(spark: SparkSession, *paths: str) -> tuple[str, ...]:
+    """Union of surname gazetteer files (NER.py:26-30 loads two and
+    unions them into one set). Order-preserving dedup."""
+    out: list[str] = []
+    for p in paths:
+        out.extend(load_json_list(spark, p))
+    return tuple(dict.fromkeys(out))
+
+
+def places_from_json(spark: SparkSession, *paths: str) -> tuple[str, ...]:
+    """Union of place-name gazetteer files (NER.py:31-34 concatenates the
+    Taiwanese and mainland lists)."""
+    out: list[str] = []
+    for p in paths:
+        out.extend(load_json_list(spark, p))
+    return tuple(dict.fromkeys(out))
+
+
+def user_dict_from_jieba_txt(
+    spark: SparkSession, path: str, tags: tuple[str, ...] | None = ("nr",)
+) -> tuple[str, ...]:
+    """jieba user-dict loader: `word [freq] [tag]` per line
+    (jieba.load_userdict format; the reference's dicts are `word nr`,
+    Convert_And_Extract.py:101). Keeps words whose tag is in ``tags``
+    (default: person names only, matching the reference's nr filter at
+    NER.py:132-139); ``tags=None`` keeps every word. Returns words in
+    file order, deduped — feed to ``Pipeline(user_dict=...)``."""
+    out: list[str] = []
+    for row in spark.read.text(path).collect():
+        parts = str(row[0]).strip().split()
+        if not parts:
+            continue
+        word, freq, tag = parts[0], None, None
+        for tok in parts[1:]:
+            if tok.isdigit() and freq is None:
+                freq = int(tok)
+            else:
+                tag = tok
+        if tags is None or tag in tags:
+            out.append(word)
+    return tuple(dict.fromkeys(out))
+
+
+def lexicons_from_tools(spark: SparkSession, tools_dir: str) -> Lexicons:
+    """Convenience: build Lexicons from a directory laid out like the
+    reference's ./Tools/ (NER.py:26-34 file names)."""
+    surnames = surnames_from_json(
+        spark,
+        f"{tools_dir}/Hundred-Family-Surnames.json",
+        f"{tools_dir}/Japanese-Surnames-in-zhTW.json",
+    )
+    places = places_from_json(
+        spark,
+        f"{tools_dir}/Taiwanese-Place-Names.json",
+        f"{tools_dir}/Mainland-Place-Names.json",
+    )
+    return Lexicons.build(surnames, places)

@@ -28,13 +28,13 @@ def conv_text_of(pdf: pd.DataFrame, col: str = "norm_text") -> str:
     return "\n\n".join(str(t) for t in ordered[col] if t is not None)
 
 
-def _make_extract_group(user_dict_index: dict | None):
+def _make_extract_group(user_dict_index: dict | None, lex: "Lexicons"):
     def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]
         text = conv_text_of(pdf)
         bio_vals = [b for b in pdf["biographee"] if isinstance(b, str) and b]
         biographee = bio_vals[0] if bio_vals else None
-        names, alias_tuples = extract_names_from_conv(text, biographee, user_dict_index)
+        names, alias_tuples = extract_names_from_conv(text, biographee, user_dict_index, lex)
         rows = [
             {"conv_id": conv_id, "kind": "name", "name": n, "alias_type": None, "alias": None}
             for n in sorted(names)
@@ -54,6 +54,7 @@ def extract_people_combined(
     user_dict=None,
     pre_partitioned: bool = False,
     partitioner: str = "hash",
+    lexicons=None,
 ) -> DataFrame:
     """One extraction pass → (conv_id, kind∈{name,alias}, name, alias_type,
     alias). Persist/materialize THIS when both splits are needed — the
@@ -64,10 +65,16 @@ def extract_people_combined(
     the driver and shipped in the UDF closure (dictionary scale is the
     reference's: thousands of entries, well under broadcast concern).
 
+    ``lexicons``: gazetteers.Lexicons (surnames + places); None → the
+    built-in defaults. Shipped in the closure like the user dict —
+    full public scale (7.5k surnames / 2.7k places) is well under a
+    megabyte pickled.
+
     biographee travels with the group on the turn-0 row (threaded by
     stage 0 — normalize.with_biographee): no turns↔meta join; ``meta`` is
     only consulted on legacy inputs missing the column."""
     from ..functions.extraction import build_name_dict_index
+    from ..gazetteers import DEFAULT_LEXICONS
 
     from .normalize import with_biographee
 
@@ -75,7 +82,7 @@ def extract_people_combined(
     enriched = with_biographee(turns, meta)
     return grouped_map(
         enriched,
-        _make_extract_group(index),
+        _make_extract_group(index, lexicons or DEFAULT_LEXICONS),
         _EXTRACT_SCHEMA,
         pre_sorted=pre_sorted,
         pre_partitioned=pre_partitioned,
@@ -92,14 +99,16 @@ def split_extracted(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def extract_people(
-    turns: DataFrame, meta: DataFrame, user_dict=None
+    turns: DataFrame, meta: DataFrame, user_dict=None, lexicons=None
 ) -> tuple[DataFrame, DataFrame]:
     """→ (conv_names, conv_aliases), both per-conversation.
 
     conv_names:   (conv_id, name)
     conv_aliases: (conv_id, name, alias_type, alias)
     """
-    return split_extracted(extract_people_combined(turns, meta, user_dict=user_dict))
+    return split_extracted(
+        extract_people_combined(turns, meta, user_dict=user_dict, lexicons=lexicons)
+    )
 
 
 def build_registry(conv_names: DataFrame, conv_aliases: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -49,12 +49,19 @@ def fused_scan_extract(
     pre_sorted: bool = False,
     pre_partitioned: bool = False,
     partitioner: str = "hash",
+    lexicons=None,
 ) -> DataFrame:
     """→ tagged-union DataFrame; see module docstring. Persist this and
     split with the accessors below.
 
+    ``lexicons``: gazetteers.Lexicons for the N7 hometown place probe;
+    None → built-in defaults (shipped in the closure, sub-MB).
+
     biographee rides the turn-0 row (stage-0 threading) — no turns↔meta
     join; ``meta`` is only the legacy fallback (normalize.with_biographee)."""
+    from ..gazetteers import DEFAULT_LEXICONS
+
+    lex = lexicons or DEFAULT_LEXICONS
     getter = index.worker_getter()
 
     def _go(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -85,7 +92,7 @@ def fused_scan_extract(
             pairs = [(p, s) for p in detected for s in person_surfaces.get(p, [])]
             for s, p, o in sorted(set(extract_relations_for_conv(text, biographee, pairs))):
                 rows.append((conv_id, "triple", None, s, p, o, "verb", None, None, None))
-            place = extract_hometown(text)
+            place = extract_hometown(text, lex)
             if place is not None:
                 rows.append(
                     (conv_id, "triple", None, biographee, "born-in", place, "born-in", None, None, None)

@@ -103,15 +103,19 @@ def verb_triples(turns: DataFrame, meta: DataFrame, person_surfaces_df: DataFram
     return grouped_map(enriched, _rel, _TRIPLE_SCHEMA)
 
 
-def hometown_triples(turns: DataFrame, meta: DataFrame) -> DataFrame:
-    """N7: first ({place})人[，。] match over the conversation text."""
+def hometown_triples(turns: DataFrame, meta: DataFrame, lexicons=None) -> DataFrame:
+    """N7: first ({place})人[，。] match over the conversation text.
+    ``lexicons``: gazetteers.Lexicons for the place probe; None → defaults."""
+    from ..gazetteers import DEFAULT_LEXICONS
+
+    lex = lexicons or DEFAULT_LEXICONS
 
     def _home(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]
         ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         bio_vals = [b for b in ordered["biographee"] if isinstance(b, str) and b]
-        place = extract_hometown(text)
+        place = extract_hometown(text, lex)
         if not bio_vals or place is None:
             return pd.DataFrame(columns=TRIPLE_COLS)
         return pd.DataFrame(

@@ -166,8 +166,12 @@ def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame
     incremental snapshot chain: each incremental snapshot holds a delta
     plus the conv_ids it superseded; the view is
     ``full(parent) − excluded ∪ delta``. Batch snapshots (no parent
-    metadata) and vocabulary-scale tables read directly. The excluded set
-    is delta-sized → broadcast anti-join; no shuffle of history."""
+    metadata) and vocabulary-scale tables read directly. ``replaced_convs``
+    is delta-sized, but ``excluded_convs`` is the *affected-conversation*
+    set — under ``rescan="exact"``/``"indexed"`` a hot changed surface can
+    make it O(history). No ``F.broadcast`` hint: AQE broadcasts the
+    anti-join side when its runtime size fits and degrades to a shuffle
+    join when it doesn't, so a hot surface cannot OOM the driver."""
     parent = snapshot_parent(store.warehouse, snapshot_id)
     level = store.read(table, snapshot_id)
     if table == "stage0_turns":
@@ -177,9 +181,7 @@ def full_view(store: CheckpointStore, table: str, snapshot_id: str) -> DataFrame
     base = full_view(store, table, parent)
     excl_table = "replaced_convs" if table in REPLACE_TABLES else "excluded_convs"
     excluded = store.read(excl_table, snapshot_id)
-    return base.join(
-        F.broadcast(excluded), "conv_id", "left_anti"
-    ).unionByName(level)
+    return base.join(excluded, "conv_id", "left_anti").unionByName(level)
 
 
 def full_view_buckets(
@@ -219,9 +221,9 @@ def full_view_buckets(
     base = full_view_buckets(store, table, parent, key, num_buckets, bucket_ids)
     excl_table = "replaced_convs" if table in REPLACE_TABLES else "excluded_convs"
     excluded = store.read(excl_table, snapshot_id)
-    return base.join(
-        F.broadcast(excluded), "conv_id", "left_anti"
-    ).unionByName(level)
+    # no broadcast hint: excluded_convs can be affected-conv-sized under
+    # rescan (see full_view) — AQE picks broadcast only when it fits
+    return base.join(excluded, "conv_id", "left_anti").unionByName(level)
 
 
 def chain_has(store: CheckpointStore, table: str, snapshot_id: str) -> bool:
@@ -491,6 +493,7 @@ class IncrementalPipeline:
         base_snapshot: str,
         snapshot_id: str,
         user_dict=None,
+        lexicons=None,
         buckets: int | None = None,
         rescan_via_file: bool = False,
         enable_cow: bool = True,
@@ -521,6 +524,9 @@ class IncrementalPipeline:
         self.base = base_snapshot
         self.snapshot_id = snapshot_id
         self.user_dict = user_dict
+        # gazetteers.Lexicons for the delta's extraction passes — MUST
+        # match the base run's lexicons or the merge mixes vocabularies
+        self.lexicons = lexicons
         self.rescan_via_file = rescan_via_file
         self.enable_cow = enable_cow
         self.max_conv_turns = max_conv_turns
@@ -716,6 +722,7 @@ class IncrementalPipeline:
             user_dict=self.user_dict,
             pre_partitioned=d_turns_bucketed,
             partitioner=self.group_partitioner,
+            lexicons=self.lexicons,
         ).persist()
         cow_cache.append(extracted)
         ext_names, ext_aliases = mentions.split_extracted(extracted)
@@ -925,9 +932,9 @@ class IncrementalPipeline:
         self._write_meta(rescan)
 
         # ---- stage 2 over delta + rescanned history ----------------
-        rescanned = excluded.join(
-            F.broadcast(replaced), "conv_id", "left_anti"
-        )
+        # replaced is genuinely delta-sized, but excluded (the probe side)
+        # is affected-conv-sized — leave the planner/AQE to size both
+        rescanned = excluded.join(replaced, "conv_id", "left_anti")
         # an empty rescan set (always under rescan="none"; common under
         # "exact" when the delta registers no changed surfaces) would
         # still force three full history reads through the unions below —
@@ -937,12 +944,15 @@ class IncrementalPipeline:
             # file-pruned to the rescanned conversations' buckets when the
             # base chain carries the conv_id layout — the rescan re-read
             # is O(rescanned), not a second O(history) pass
+            # rescanned is affected-conv-sized (a hot changed surface can
+            # touch O(history) conversations) — no broadcast hint; AQE
+            # broadcasts these semijoins only when the set actually fits
             base_turns_re = self._turns_for(rescanned)
             base_meta_re = full_view(store, "stage0_meta", base).join(
-                F.broadcast(rescanned), "conv_id", "leftsemi"
+                rescanned, "conv_id", "leftsemi"
             )
             base_aliases_re = full_view(store, "stage1_aliases", base).join(
-                F.broadcast(rescanned), "conv_id", "leftsemi"
+                rescanned, "conv_id", "leftsemi"
             )
             s2_turns = d_turns.unionByName(
                 base_turns_re, allowMissingColumns=True
@@ -961,6 +971,7 @@ class IncrementalPipeline:
             s2_turns, s2_meta, index,
             pre_partitioned=d_turns_bucketed and not any_rescan,
             partitioner=self.group_partitioner,
+            lexicons=self.lexicons,
         ).persist()
         cow_cache.append(fused)
         g2 = _group(

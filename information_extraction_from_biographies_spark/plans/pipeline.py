@@ -215,6 +215,7 @@ class Pipeline:
         snapshot_id: str = "v1",
         cc_salt: int = 0,
         user_dict=None,
+        lexicons=None,
         registry_via_file: bool = False,
         buckets: int | None = None,
         gram_index: bool = True,
@@ -224,7 +225,14 @@ class Pipeline:
     ) -> None:
         """``user_dict``: iterable of known person names for the N1
         dictionary-segmentation channel (the jieba user dicts of
-        NER.py:8-10); None disables the channel.
+        NER.py:8-10); None disables the channel. Load the reference's
+        `word nr` dict files with ``gazetteers.user_dict_from_jieba_txt``.
+
+        ``lexicons``: a ``gazetteers.Lexicons`` (surname + place
+        gazetteers) for the N2/N3/N7 kernels and the F3-F5 filters;
+        None → the built-in representative defaults. Load the
+        reference's public JSON gazetteers with
+        ``gazetteers.lexicons_from_tools(spark, tools_dir)``.
 
         ``registry_via_file``: distribute the stage-2 probe dictionary via
         a registry parquet under the warehouse instead of driver collect +
@@ -275,6 +283,7 @@ class Pipeline:
         self.snapshot_id = snapshot_id
         self.cc_salt = cc_salt
         self.user_dict = user_dict
+        self.lexicons = lexicons
         self.registry_via_file = registry_via_file
         self.buckets = buckets
         self.gram_index = gram_index
@@ -380,6 +389,7 @@ class Pipeline:
             user_dict=self.user_dict,
             pre_partitioned=turns_bucketed,
             partitioner=self.group_partitioner,
+            lexicons=self.lexicons,
         ).persist()
         ext_names, ext_aliases = mentions.split_extracted(extracted)
 
@@ -453,6 +463,7 @@ class Pipeline:
             index,
             pre_partitioned=turns_bucketed,
             partitioner=self.group_partitioner,
+            lexicons=self.lexicons,
         ).persist()
 
         # the five independent consumers of the persisted fused pass (plus

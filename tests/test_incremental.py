@@ -354,6 +354,33 @@ def test_full_view_plan_never_shuffles_history(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_full_view_exclusion_degrades_to_shuffle_when_big(spark, tmp_path):
+    """The exclusion anti-join carries NO F.broadcast hint: excluded_convs
+    is affected-conversation-sized under rescan (a hot surface makes it
+    O(history)), so the planner must be free to pick a shuffle join.
+    Forcing the size estimate over budget (threshold=-1) must yield a
+    non-broadcast plan — if someone re-adds the hint, this fails."""
+    fixture = fx.make_fixture(n_convs=10, seed=15)
+    base_t, delta_t = _split_convs(spark, fixture, 7)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    pipe = IncrementalPipeline(spark, wh, "s1", "s2")
+    pipe.run(delta_t, rescan="none")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            full_view(pipe.store, "stage0_turns", "s2")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan  # hint is gone; planner decides
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_rescan_via_file_matches_collect_path(spark, tmp_path):
     """rescan_via_file=True (workers read the changed-surface parquet
     themselves; no driver collect) produces the identical excluded set AND

@@ -134,9 +134,16 @@ def _band_keys(bands: int) -> Column:
     dropped the signature tail for non-divisors (recall loss with no
     error), and ``bands > len(sig)`` made every key an empty string — one
     global bucket, quadratic candidates arbitrarily truncated by the
-    cap."""
+    cap.
+
+    A NULL ``sig`` (degenerate row, e.g. an empty document upstream)
+    yields NULL band keys — NULL never equi-joins, so the row silently
+    drops out of candidacy, as before the divisibility check — rather
+    than tripping ``raise_error`` with a misleading message."""
     size = F.size("sig")
-    width = F.when(size % bands == 0, (size / bands).cast("int")).otherwise(
+    width = F.when(F.col("sig").isNull(), F.lit(None).cast("int")).when(
+        size % bands == 0, (size / bands).cast("int")
+    ).otherwise(
         F.raise_error(
             F.format_string(
                 "LSH bands=%s must divide the signature length (got %s hashes)",

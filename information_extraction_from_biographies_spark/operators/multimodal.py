@@ -21,10 +21,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-MEDIA_SCHEMA = (
-    "media_id long, kind string, payload binary, "
-    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
-)
+# single source of truth for the typed-metadata struct: every schema that
+# carries `meta` derives from this, so adding a field can't silently
+# diverge a mapInPandas output schema from MEDIA_SCHEMA
+META_STRUCT = "struct<width:int, height:int, sample_rate:int, n_frames:int>"
+MEDIA_SCHEMA = f"media_id long, kind string, payload binary, meta {META_STRUCT}"
 
 
 class FakeCodec:
@@ -127,10 +128,7 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
         .select("media_id", "payload", "meta")
         .mapInPandas(
             _resize,
-            schema=(
-                "media_id long, payload binary, "
-                "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
-            ),
+            schema=f"media_id long, payload binary, meta {META_STRUCT}",
         )
     )
 

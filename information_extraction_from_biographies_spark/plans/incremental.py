@@ -459,6 +459,34 @@ def ensure_gram_index(
     return done
 
 
+def expire_branch(warehouse: str, snapshot_id: str) -> bool:
+    """Un-chain ONE snapshot: remove its parent-pointer metadata so
+    ``streaming.ingest.latest_snapshot`` no longer considers it — the
+    resolution for a genuinely forked history (two snapshots naming the
+    same parent, e.g. two concurrent ingest drivers). Descendants of the
+    expired branch (if any) become orphans and should be expired too,
+    tip-first. The snapshot's table levels stay on disk as ordinary
+    ``CheckpointStore.expire_snapshots`` candidates. Returns True if a
+    pointer was removed. Refuses when another live snapshot still names
+    this one as parent (expiring it would strand the descendant's chain)."""
+    inc_dir = os.path.join(warehouse, "_incremental")
+    if os.path.isdir(inc_dir):
+        for name in os.listdir(inc_dir):
+            if not name.endswith(".json"):
+                continue
+            child = name[: -len(".json")]
+            if child != snapshot_id and snapshot_parent(warehouse, child) == snapshot_id:
+                raise ValueError(
+                    f"cannot expire {snapshot_id!r}: {child!r} chains on it; "
+                    "expire the branch tip-first"
+                )
+    p = _meta_path(warehouse, snapshot_id)
+    if not os.path.exists(p):
+        return False
+    os.remove(p)
+    return True
+
+
 def retire_chain(warehouse: str, tip: str) -> list[str]:
     """Remove the incremental metadata of ``tip`` and every ancestor —
     the snapshots stop being chain-protected and become ordinary expiry
@@ -929,7 +957,6 @@ class IncrementalPipeline:
         excluded = _materialize(
             "excluded_convs", _excluded, {"stage0_turns": sid}
         )
-        self._write_meta(rescan)
 
         # ---- stage 2 over delta + rescanned history ----------------
         # replaced is genuinely delta-sized, but excluded (the probe side)
@@ -1176,6 +1203,16 @@ class IncrementalPipeline:
         )
         nodes, edges, timeline = g4["nodes"], g4["edges"], g4["timeline"]
         # run()'s finally unpersists everything registered in cow_cache
+
+        # the parent pointer is the snapshot's COMMIT POINT, written only
+        # after every table landed: a run that crashes mid-way leaves
+        # committed-but-unchained table levels (resumable under the SAME
+        # snapshot_id via _materialize's is_committed skip) and NO meta —
+        # so a retry under a NEW snapshot_id cannot trip
+        # streaming.ingest.latest_snapshot's branched-chain guard on a
+        # half-built orphan. The full_view calls below are the first
+        # readers that need the pointer.
+        self._write_meta(rescan)
 
         return PipelineResult(
             tables={

@@ -65,8 +65,9 @@ def latest_snapshot(warehouse: str, base: str) -> str:
             # branch's conversations. Ambiguity must stop ingestion.
             raise ValueError(
                 f"branched snapshot chain: {children[p]!r} and {s!r} both "
-                f"have parent {p!r}; compact or expire one branch before "
-                "resuming ingestion"
+                f"have parent {p!r}; expire one branch with "
+                "plans.incremental.expire_branch(warehouse, snapshot_id) "
+                "(tip-first), or compact, before resuming ingestion"
             )
         children[p] = s
     seen = {tip}

@@ -344,3 +344,26 @@ def test_lsh_bands_must_divide_signature(spark):
             dedup.lsh_candidate_pairs(profiles, bands=bad).collect()
     # divisors still work
     assert dedup.lsh_candidate_pairs(profiles, bands=16).count() >= 0
+
+
+def test_null_sig_row_drops_silently_not_raise(spark):
+    """A NULL ``sig`` (degenerate profile row, e.g. from a user-supplied
+    frame) must not trip the bands-divisibility raise_error with its
+    misleading '-1/NULL hashes' message (r4 ADVICE): the row gets NULL
+    band keys, NULL never equi-joins, and it simply contributes no
+    candidate pairs."""
+    dup = "identical shingled text, long enough to produce shingles"
+    base = dedup.minhash_profiles(
+        spark.createDataFrame(
+            [(0, dup), (1, dup)], "doc_id long, text string"
+        ),
+        n=5,
+        num_hashes=32,
+    )
+    with_null = base.unionByName(
+        spark.createDataFrame(
+            [(99, None, None)], "doc_id long, sig array<long>, shingles array<long>"
+        )
+    )
+    pairs = dedup.lsh_candidate_pairs(with_null, bands=8).collect()
+    assert {(r["doc1"], r["doc2"]) for r in pairs} == {(0, 1)}

@@ -426,3 +426,78 @@ def test_incremental_bucketed_matches_full_recompute(spark, tmp_path):
         fx.transcripts_sdf(spark, fixture)
     )
     _assert_equal_results(inc, full)
+
+
+def test_crash_before_completion_leaves_no_orphan_pointer(spark, tmp_path, monkeypatch):
+    """The parent pointer is the snapshot's commit point, written only
+    after every table lands: a run that dies mid-way leaves committed
+    levels but NO chain metadata, so latest_snapshot never sees the
+    half-built orphan and a retry under a NEW snapshot_id cannot trip
+    the branched-chain guard (r4 ADVICE)."""
+    from information_extraction_from_biographies_spark.plans.incremental import snapshot_parent
+    from information_extraction_from_biographies_spark.sources.checkpoint import CheckpointStore
+    from information_extraction_from_biographies_spark.streaming.ingest import latest_snapshot
+
+    fixture = fx.make_fixture(n_convs=10, seed=21)
+    base_t, delta_t = _split_convs(spark, fixture, 7)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+
+    real_commit = CheckpointStore.commit
+    real_partial = CheckpointStore.commit_partial
+
+    def boom(self, df, table, snapshot_id, *a, **kw):
+        if table == "timeline" and snapshot_id == "s2a":
+            raise RuntimeError("injected mid-run crash")
+        return real_commit(self, df, table, snapshot_id, *a, **kw)
+
+    def boom_partial(self, df, table, snapshot_id, *a, **kw):
+        if table == "timeline" and snapshot_id == "s2a":
+            raise RuntimeError("injected mid-run crash")
+        return real_partial(self, df, table, snapshot_id, *a, **kw)
+
+    monkeypatch.setattr(CheckpointStore, "commit", boom)
+    monkeypatch.setattr(CheckpointStore, "commit_partial", boom_partial)
+    with pytest.raises(RuntimeError, match="injected"):
+        IncrementalPipeline(spark, wh, "s1", "s2a").run(delta_t, rescan="none")
+    monkeypatch.setattr(CheckpointStore, "commit", real_commit)
+    monkeypatch.setattr(CheckpointStore, "commit_partial", real_partial)
+
+    # no orphan: the crashed snapshot is invisible to chain resolution
+    assert snapshot_parent(wh, "s2a") is None
+    assert latest_snapshot(wh, "s1") == "s1"
+    # a retry under a NEW id succeeds and becomes the chain tip
+    IncrementalPipeline(spark, wh, "s1", "s2b").run(delta_t, rescan="none")
+    assert latest_snapshot(wh, "s1") == "s2b"
+    # ...and resuming the crashed id itself also completes (is_committed
+    # skips the already-landed levels) and only then writes its pointer —
+    # which now forks the chain, the case expire_branch resolves below
+    IncrementalPipeline(spark, wh, "s1", "s2a").run(delta_t, rescan="none")
+    assert snapshot_parent(wh, "s2a") == "s1"
+
+
+def test_expire_branch_resolves_forked_chain(spark, tmp_path):
+    """Two snapshots chained on one parent = ambiguous tip: the
+    latest_snapshot guard raises and names expire_branch; expiring one
+    branch restores resolution. Expiring a non-tip is refused."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        expire_branch,
+        snapshot_parent,
+    )
+    from information_extraction_from_biographies_spark.streaming.ingest import latest_snapshot
+
+    fixture = fx.make_fixture(n_convs=12, seed=22)
+    base_t, delta_t = _split_convs(spark, fixture, 8)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    IncrementalPipeline(spark, wh, "s1", "fork_a").run(delta_t, rescan="none")
+    IncrementalPipeline(spark, wh, "s1", "fork_b").run(delta_t, rescan="none")
+    with pytest.raises(ValueError, match="expire_branch"):
+        latest_snapshot(wh, "s1")
+    # a descendant pins its ancestor: s1 is not expirable
+    with pytest.raises(ValueError, match="tip-first"):
+        expire_branch(wh, "s1")
+    assert expire_branch(wh, "fork_b") is True
+    assert expire_branch(wh, "fork_b") is False  # already gone — idempotent
+    assert latest_snapshot(wh, "s1") == "fork_a"
+    assert snapshot_parent(wh, "fork_a") == "s1"

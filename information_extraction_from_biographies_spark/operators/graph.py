@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..gazetteers import COOCCURRENCE_ZOOM_FACTOR
@@ -184,7 +184,13 @@ def load_graphml(spark, path: str):
     return nodes_df, edges_df
 
 
-def to_graphml(nodes_pdf, edges_pdf, path: str, directed: bool | None = None) -> None:
+def to_graphml(
+    nodes_pdf,
+    edges_pdf,
+    path: str,
+    directed: bool | None = None,
+    max_rows: int = 2_000_000,
+) -> None:
     """Driver-side GraphML export (fixture scale only — S8), writing the
     reference's full format (Graph.py:8-23,29-38):
 
@@ -197,8 +203,22 @@ def to_graphml(nodes_pdf, edges_pdf, path: str, directed: bool | None = None) ->
 
     Key declarations carry attr.name so load_graphml's d0/d1 indirection
     round-trips: to_graphml → load_graphml is the identity on
-    (nodes, edges, attrs)."""
+    (nodes, edges, attrs).
+
+    ``max_rows`` guards the driver materialization: beyond it the nodes/
+    edges DataFrames ARE the product — query them in place, or export the
+    single-file format through the distributed ``write_graphml``."""
     import xml.sax.saxutils as sx
+
+    n_rows = len(nodes_pdf) + len(edges_pdf)
+    if n_rows > max_rows:
+        raise ValueError(
+            f"to_graphml materializes every row on the driver and got "
+            f"{n_rows:,} rows (> max_rows={max_rows:,}). At this scale the "
+            "nodes/edges tables ARE the product — query them in place, or "
+            "use operators.graph.write_graphml(nodes_df, edges_df, path), "
+            "which renders XML executor-side and stream-merges fragments."
+        )
 
     weighted = "weight" in edges_pdf.columns
     if directed is None:
@@ -256,3 +276,145 @@ def to_graphml(nodes_pdf, edges_pdf, path: str, directed: bool | None = None) ->
     lines += ["</graph>", "</graphml>"]
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
+
+
+def _xml_escape(col: Column) -> Column:
+    """XML-escape a string column JVM-side (&, <, >, \") — the executor
+    half of write_graphml; equivalent to saxutils escaping for both
+    attribute values (we always quote with \") and text content."""
+    c = F.replace(col.cast("string"), F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    return F.replace(c, F.lit('"'), F.lit("&quot;"))
+
+
+def write_graphml(
+    nodes: DataFrame, edges: DataFrame, path: str, directed: bool | None = None
+) -> None:
+    """Distributed single-file GraphML export — the scale path behind
+    to_graphml's ``max_rows`` guard.
+
+    Same format and same column contract as to_graphml (`name` [+ `attrs`
+    map] nodes; `name1/name2/weight` co-occurrence or `subj/pred/obj`
+    relation edges — Graph.py:8-23,29-38), but the XML is rendered
+    executor-side as pure column expressions (escape = chained
+    ``F.replace``, per-attr <data> via ``transform`` over ``map_entries``)
+    and written as text fragments; the driver then STREAM-concatenates the
+    part files byte-wise through the Hadoop FS API (hdfs/s3a/file alike)
+    between the header and footer. Driver memory is O(attr-name set +
+    copy buffer), never O(rows) — only the inherently-serial final file
+    write is driver-side, and it's a byte copy, not row materialization.
+    Fragment order is nondeterministic across partitions (GraphML is
+    order-insensitive; load_graphml round-trips identically)."""
+    spark = nodes.sparkSession
+    weighted = "weight" in edges.columns
+    if directed is None:
+        directed = not weighted  # reference: DiGraph relations, Graph cooccurrence
+    src_col, dst_col = ("name1", "name2") if weighted else ("subj", "obj")
+
+    has_attrs = "attrs" in nodes.columns
+    if has_attrs:
+        # the attr-NAME set (alias types) is tiny by construction — this
+        # collect is O(distinct keys), not O(nodes)
+        attr_names = sorted(
+            r[0]
+            for r in nodes.select(
+                F.explode(F.map_keys("attrs")).alias("k")
+            ).distinct().collect()
+        )
+    else:
+        attr_names = []
+    key_ids = {name: f"d{i}" for i, name in enumerate(attr_names)}
+    edge_key = f"d{len(attr_names)}"
+
+    nid = _xml_escape(F.col("name"))
+    if has_attrs and attr_names:
+        kid = F.create_map(
+            *[lit for n in attr_names for lit in (F.lit(n), F.lit(key_ids[n]))]
+        )
+        datas = F.array_join(
+            F.transform(
+                F.map_entries("attrs"),
+                lambda e: F.concat(
+                    F.lit('<data key="'),
+                    kid[e["key"]],
+                    F.lit('">'),
+                    _xml_escape(e["value"]),
+                    F.lit("</data>"),
+                ),
+            ),
+            "",
+        )
+        node_line = F.when(
+            F.size(F.map_entries(F.col("attrs"))) > 0,
+            F.concat(F.lit('<node id="'), nid, F.lit('">'), datas, F.lit("</node>")),
+        ).otherwise(F.concat(F.lit('<node id="'), nid, F.lit('"/>')))
+    else:
+        node_line = F.concat(F.lit('<node id="'), nid, F.lit('"/>'))
+
+    edge_val = (
+        F.col("weight").cast("string") if weighted else _xml_escape(F.col("pred"))
+    )
+    edge_line = F.concat(
+        F.lit('<edge source="'),
+        _xml_escape(F.col(src_col)),
+        F.lit('" target="'),
+        _xml_escape(F.col(dst_col)),
+        F.lit(f'"><data key="{edge_key}">'),
+        edge_val,
+        F.lit("</data></edge>"),
+    )
+
+    header = ['<?xml version="1.0" encoding="UTF-8"?>']
+    header.append('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">')
+    for name in attr_names:
+        qname = (
+            name.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+        )
+        header.append(
+            f'<key id="{key_ids[name]}" for="node" '
+            f'attr.name="{qname}" attr.type="string"/>'
+        )
+    if weighted:
+        header.append(
+            f'<key id="{edge_key}" for="edge" attr.name="weight" attr.type="double"/>'
+        )
+    else:
+        header.append(
+            f'<key id="{edge_key}" for="edge" attr.name="Relation" attr.type="string"/>'
+        )
+    header.append(f'<graph edgedefault="{"directed" if directed else "undirected"}">')
+
+    tmp_nodes, tmp_edges = path + ".tmp.nodes", path + ".tmp.edges"
+    nodes.select(node_line.alias("value")).write.mode("overwrite").text(tmp_nodes)
+    edges.select(edge_line.alias("value")).write.mode("overwrite").text(tmp_edges)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    out = fs.create(dst, True)
+    try:
+        out.write(bytearray(("\n".join(header) + "\n").encode("utf-8")))
+        for tmp in (tmp_nodes, tmp_edges):
+            d = jvm.org.apache.hadoop.fs.Path(tmp)
+            parts = sorted(
+                (st.getPath() for st in fs.listStatus(d)),
+                key=lambda p: p.getName(),
+            )
+            for p in parts:
+                if not p.getName().startswith("part-"):
+                    continue
+                stream = fs.open(p)
+                try:
+                    # byte-streamed copy: the 4th arg keeps `out` open
+                    jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                        stream, out, conf, False
+                    )
+                finally:
+                    stream.close()
+        out.write(bytearray(b"</graph>\n</graphml>\n"))
+    finally:
+        out.close()
+    for tmp in (tmp_nodes, tmp_edges):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)

@@ -190,6 +190,82 @@ def test_graphml_writer_full_reference_format(spark, tmp_path):
     ]
 
 
+def test_write_graphml_distributed_matches_pandas_writer(spark, tmp_path):
+    """write_graphml (executor-side XML + streamed merge) produces the
+    same graph as the driver-side to_graphml on identical data — both
+    parsed back through load_graphml — for both edge modes, including
+    escaping, NULL/empty attr maps, and the weight double rendering."""
+    import pandas as pd
+
+    from information_extraction_from_biographies_spark.operators.graph import (
+        load_graphml,
+        to_graphml,
+        write_graphml,
+    )
+
+    names = ["陳一", "林二", "黃三", 'q"uo<te>&']
+    attrs = [{"字": "子安", "英文名": "Chen&I"}, {"號": "竹<軒>"}, None, {}]
+    nodes_pdf = pd.DataFrame({"name": names, "attrs": attrs})
+    nodes_sdf = spark.createDataFrame(
+        list(zip(names, attrs)), "name string, attrs map<string,string>"
+    )
+
+    def parsed(p):
+        n, e = load_graphml(spark, p)
+        return (
+            {r["id"]: dict(r["attrs"]) for r in n.collect()},
+            {(r["src"], r["dst"], tuple(sorted(r["attrs"].items()))) for r in e.collect()},
+        )
+
+    # weighted co-occurrence mode
+    w_pdf = pd.DataFrame(
+        {"name1": ["陳一", "林二"], "name2": ["林二", "黃三"], "weight": [1.2, 0.66]}
+    )
+    w_sdf = spark.createDataFrame(w_pdf)
+    to_graphml(nodes_pdf, w_pdf, str(tmp_path / "w_ref.graphml"))
+    write_graphml(nodes_sdf, w_sdf, str(tmp_path / "w_dist.graphml"))
+    assert parsed(str(tmp_path / "w_dist.graphml")) == parsed(
+        str(tmp_path / "w_ref.graphml")
+    )
+
+    # relation mode
+    r_pdf = pd.DataFrame(
+        {"subj": ["陳一", "林二"], "pred": ["推薦<>&", "合作"], "obj": ['q"uo<te>&', "黃三"]}
+    )
+    r_sdf = spark.createDataFrame(r_pdf)
+    to_graphml(nodes_pdf, r_pdf, str(tmp_path / "r_ref.graphml"))
+    write_graphml(nodes_sdf, r_sdf, str(tmp_path / "r_dist.graphml"))
+    assert parsed(str(tmp_path / "r_dist.graphml")) == parsed(
+        str(tmp_path / "r_ref.graphml")
+    )
+
+    # many-partition input still yields one well-formed file
+    big_nodes = spark.range(0, 500, 1, 8).selectExpr(
+        "concat('n', id) as name", "map('t', concat('v', id)) as attrs"
+    )
+    big_edges = spark.range(0, 499, 1, 8).selectExpr(
+        "concat('n', id) as subj", "'knows' as pred", "concat('n', id + 1) as obj"
+    )
+    p = str(tmp_path / "big.graphml")
+    write_graphml(big_nodes, big_edges, p)
+    n, e = load_graphml(spark, p)
+    assert n.count() == 500 and e.count() == 499
+    assert {r["attrs"]["t"] for r in n.collect()} == {f"v{i}" for i in range(500)}
+
+
+def test_to_graphml_guard_points_to_distributed_writer(tmp_path):
+    """Beyond max_rows the driver-side writer refuses with an error naming
+    write_graphml — the tables are the product at scale (S8 guard)."""
+    import pandas as pd
+
+    nodes_pdf = pd.DataFrame({"name": [f"n{i}" for i in range(10)]})
+    edges_pdf = pd.DataFrame({"subj": ["n0"], "pred": ["p"], "obj": ["n1"]})
+    with pytest.raises(ValueError, match="write_graphml"):
+        to_graphml(nodes_pdf, edges_pdf, str(tmp_path / "g.graphml"), max_rows=5)
+    # at the boundary itself it still writes
+    to_graphml(nodes_pdf, edges_pdf, str(tmp_path / "g.graphml"), max_rows=11)
+
+
 @pytest.mark.skipif(
     not os.path.isdir(REF_GRAPH_DIR), reason="reference artifacts not present"
 )

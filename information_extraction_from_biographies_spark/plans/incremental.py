@@ -89,6 +89,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators import canonicalize, graph, mentions, normalize, postings, scan, stage2
+from ..operators.normalize import TURN_COLS
 from ..sources.checkpoint import CheckpointStore
 from .pipeline import (
     BUCKET_KEYS,
@@ -457,6 +458,104 @@ def ensure_gram_index(
         )
         done.append(f"{s}:turn_grams")
     return done
+
+
+def _stats_path(warehouse: str, snapshot_id: str) -> str:
+    return os.path.join(warehouse, "_stats", f"{snapshot_id}.json")
+
+
+def snapshot_conv_count(store: CheckpointStore, snapshot_id: str) -> int:
+    """Conversation count of a snapshot (chain-resolved), cached in a
+    ``_stats`` sidecar so repeat policy decisions are free. The first
+    call on an uncached snapshot pays ONE count over the conv-scale meta
+    view (one row per conversation — never the turns table)."""
+    p = _stats_path(store.warehouse, snapshot_id)
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)["n_convs"]
+    n = full_view(store, "stage0_meta", snapshot_id).count()
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump({"n_convs": n}, f)
+    return n
+
+
+# Default rebuild knee, measured in BENCH/crossover.json (sweep: base
+# 3k/12k/48k convs x delta 1-50%) and recorded in BENCH/BASELINE.md
+# §"Incremental-vs-rebuild crossover". Above this delta/base conversation
+# ratio a full rebuild is cheaper than incremental maintenance (the delta
+# path pays a ~per-commit latency floor plus CoW vocabulary rewrites that
+# a straight-line batch run does not); below it the delta path wins and
+# its cost stays O(delta + vocabulary), independent of history size.
+REBUILD_RATIO = 0.30
+# Below this base size the commit floor dominates both paths and rebuild
+# is never meaningfully slower — skip the incremental machinery outright.
+REBUILD_FLOOR_CONVS = 2000
+
+
+def maintain(
+    spark: SparkSession,
+    warehouse: str,
+    base_snapshot: str,
+    snapshot_id: str,
+    new_transcripts: DataFrame,
+    rescan: str = "exact",
+    rebuild_ratio: float = REBUILD_RATIO,
+    floor_convs: int = REBUILD_FLOOR_CONVS,
+    force: str | None = None,
+    **pipeline_kwargs,
+):
+    """Apply a transcript delta by whichever path is cheaper — the
+    ``rebuild_if_cheaper`` policy escape for incremental maintenance.
+
+    Measures nothing at decision time beyond two conversation counts
+    (delta: delta-sized; base: cached by ``snapshot_conv_count``) and
+    picks:
+
+    - **incremental** (``IncrementalPipeline``) when the delta is small
+      relative to the base (``delta_convs < rebuild_ratio * base_convs``)
+      and the base is past the commit-latency floor — the regime where
+      BENCH/crossover.json measures the delta path winning;
+    - **rebuild** (batch ``Pipeline`` over ``full_view`` history minus the
+      replaced conversations, union the delta) otherwise. The rebuild
+      lands as a NEW BATCH snapshot (no parent pointer): it starts a
+      fresh chain, exactly like ``compact_snapshot``'s output, and the
+      caller should treat the returned snapshot as the new base.
+
+    ``force``: ``"incremental"`` / ``"rebuild"`` overrides the policy
+    (operational escape hatch). Returns ``(path, result)`` with ``path``
+    the choice made. ``pipeline_kwargs`` are forwarded to whichever
+    pipeline runs (shared subset: user_dict, lexicons, buckets,
+    max_conv_turns, group_partitioner)."""
+    from .pipeline import Pipeline
+
+    if force not in (None, "incremental", "rebuild"):
+        raise ValueError(f"force must be None|'incremental'|'rebuild', got {force!r}")
+    store = CheckpointStore(spark, warehouse)
+    if force is None:
+        delta_convs = new_transcripts.select("conv_id").distinct().count()
+        base_convs = snapshot_conv_count(store, base_snapshot)
+        rebuild = base_convs <= floor_convs or delta_convs >= rebuild_ratio * base_convs
+    else:
+        rebuild = force == "rebuild"
+
+    if rebuild:
+        delta_ids = new_transcripts.select("conv_id").distinct()
+        history = (
+            full_view(store, "stage0_turns", base_snapshot)
+            .select(*TURN_COLS)
+            .join(delta_ids, "conv_id", "left_anti")
+        )
+        full = history.unionByName(new_transcripts.select(*TURN_COLS))
+        res = Pipeline(spark, warehouse, snapshot_id=snapshot_id, **pipeline_kwargs).run(full)
+        return "rebuild", res
+
+    inc_kwargs = dict(pipeline_kwargs)
+    inc_kwargs.pop("gram_index", None)  # batch-only knob
+    res = IncrementalPipeline(
+        spark, warehouse, base_snapshot, snapshot_id, **inc_kwargs
+    ).run(new_transcripts, rescan=rescan)
+    return "incremental", res
 
 
 def expire_branch(warehouse: str, snapshot_id: str) -> bool:

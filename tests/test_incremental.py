@@ -476,6 +476,98 @@ def test_crash_before_completion_leaves_no_orphan_pointer(spark, tmp_path, monke
     assert snapshot_parent(wh, "s2a") == "s1"
 
 
+def test_maintain_policy_picks_path_by_crossover(spark, tmp_path):
+    """rebuild_if_cheaper (r4 verdict item 2): maintain() routes the delta
+    through IncrementalPipeline below the measured knee and through a
+    full batch rebuild above it — both paths reproducing the batch
+    pipeline over base ∪ delta exactly (including a REPLACED conversation,
+    which the rebuild must drop from history before unioning)."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        maintain,
+        snapshot_conv_count,
+        snapshot_parent,
+    )
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    fixture = fx.make_fixture(n_convs=20, seed=29)
+    base_t, delta_t = _split_convs(spark, fixture, 16)
+    sdf = fx.transcripts_sdf(spark, fixture)
+
+    # --- below the knee: 4/16 = 0.25 < 0.30, floor disabled → incremental
+    wh1 = str(tmp_path / "w1")
+    Pipeline(spark, wh1, snapshot_id="s1").run(base_t)
+    path, res = maintain(
+        spark, wh1, "s1", "s2", delta_t, rescan="exact", floor_convs=0
+    )
+    assert path == "incremental"
+    assert snapshot_parent(wh1, "s2") == "s1"
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(sdf)
+    _assert_equal_results(res, full)
+
+    # --- above the knee: replay 6 base convs + the 4 new = 10/16 = 0.625
+    # (one replaced conversation gets NEW text, proving history rows drop)
+    wh2 = str(tmp_path / "w2")
+    Pipeline(spark, wh2, snapshot_id="s1").run(base_t)
+    conv_ids = sorted(
+        r["conv_id"] for r in base_t.select("conv_id").distinct().collect()
+    )
+    replay = base_t.filter(F.col("conv_id").isin(conv_ids[:6]))
+    changed = replay.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == conv_ids[0]) & (F.col("turn_idx") == 1),
+            F.concat(F.col("text"), F.lit("民國88年（1999），獲頒獎章。")),
+        ).otherwise(F.col("text")),
+    )
+    big_delta = changed.unionByName(delta_t)
+    path2, res2 = maintain(
+        spark, wh2, "s1", "s2", big_delta, rescan="exact", floor_convs=0
+    )
+    assert path2 == "rebuild"
+    assert snapshot_parent(wh2, "s2") is None  # a fresh batch root
+    # reference: batch over history-minus-replaced ∪ delta
+    ref_input = base_t.join(
+        big_delta.select("conv_id").distinct(), "conv_id", "left_anti"
+    ).unionByName(big_delta)
+    ref = Pipeline(spark, str(tmp_path / "ref"), snapshot_id="r1").run(ref_input)
+    _assert_equal_results(res2, ref)
+    # the replaced conversation's new text actually landed
+    got_tl = {
+        (r.year, r.event)
+        for r in res2.tables["timeline"].filter(
+            F.col("conv_id") == conv_ids[0]
+        ).collect()
+    }
+    assert (1999, "獲頒獎章") in got_tl
+
+    # --- the commit floor: tiny base ⇒ rebuild even for a 1-conv delta
+    wh3 = str(tmp_path / "w3")
+    Pipeline(spark, wh3, snapshot_id="s1").run(base_t)
+    one = delta_t.join(
+        delta_t.select("conv_id").distinct().limit(1), "conv_id", "leftsemi"
+    )
+    path3, _res3 = maintain(spark, wh3, "s1", "s2", one)  # default floor 2000
+    assert path3 == "rebuild"
+
+    # --- force overrides the policy in both directions
+    wh4 = str(tmp_path / "w4")
+    Pipeline(spark, wh4, snapshot_id="s1").run(base_t)
+    path4, _ = maintain(spark, wh4, "s1", "s2", one, force="incremental")
+    assert path4 == "incremental"
+    path5, _ = maintain(spark, wh4, "s2", "s3", one, force="rebuild")
+    assert path5 == "rebuild"
+
+    # conv counts resolve through the chain and cache in the sidecar
+    store = CheckpointStore(spark, wh1)
+    assert snapshot_conv_count(store, "s1") == 16
+    assert snapshot_conv_count(store, "s2") == 20
+    import os as _os
+
+    assert _os.path.exists(f"{wh1}/_stats/s2.json")
+
+
 def test_expire_branch_resolves_forked_chain(spark, tmp_path):
     """Two snapshots chained on one parent = ambiguous tip: the
     latest_snapshot guard raises and names expire_branch; expiring one

@@ -38,6 +38,35 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     dt = max(after[0] - before[0], 1)
     return round(100.0 * (after[1] - before[1]) / dt, 2)
 
+
+def _wait_for_quiet(
+    max_steal: float, probe_s: float = 2.0, max_wait_s: float = 90.0
+) -> dict:
+    """Hold the next trial until a probe window shows the host calm.
+
+    Co-tenant steal arrives in multi-second bursts (r4: all six flagship
+    trials landed inside one sustained burst and were discarded —
+    `steal_fallback: true`), so launching a 12 s trial into a window the
+    probe can already see is contaminated wastes the whole trial. Probe
+    /proc/stat steal over ``probe_s``; launch when a window is at or
+    under HALF the discard bar (headroom for the burst resuming
+    mid-trial), give up after ``max_wait_s`` and launch anyway — the
+    discard policy still adjudicates the trial itself."""
+    waited = 0.0
+    probes: list[float] = []
+    while True:
+        b = _cpu_stat()
+        time.sleep(probe_s)
+        s = _steal_pct(b, _cpu_stat())
+        probes.append(s)
+        waited += probe_s
+        if s <= max_steal * 0.5:
+            return {"waited_s": round(waited, 1), "probes": probes, "quiet": True}
+        if waited >= max_wait_s:
+            return {"waited_s": round(waited, 1), "probes": probes, "quiet": False}
+        time.sleep(min(3.0, probe_s))
+        waited += min(3.0, probe_s)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
@@ -226,6 +255,8 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
         # 2.6x below a dirty-session first attempt)
         trial_log = []
         for t in range(max(trials, 1) + 1):
+            if trial_log and trial_log[-1]["discarded"]:
+                _wait_for_quiet(max_steal, max_wait_s=30.0)
             before = _cpu_stat()
             t0 = time.monotonic()
             # run() is eager — every delta stage table is committed to
@@ -347,7 +378,10 @@ def main() -> None:
     # reported for adjudication.
     max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "1.0"))
     kg_trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
-    kg_max_trials = int(os.environ.get("SPARK_GRAFT_KG_MAX_TRIALS", "4"))
+    kg_max_trials = int(os.environ.get("SPARK_GRAFT_KG_MAX_TRIALS", "8"))
+    # total extra wall the flagship may spend hunting a clean trial
+    # (quiet-window waits + retries); bounds the adaptive loop below
+    kg_budget_s = float(os.environ.get("SPARK_GRAFT_KG_BUDGET_S", "420"))
     # Untimed PIPELINE warmup at ~5% scale: the first same-session run
     # pays JVM JIT/codegen warm-up on every stage (measured 18.7-21.9 s
     # cold vs 13.0-14.5 s warm at 12k convs) — a per-session cost like
@@ -356,17 +390,32 @@ def main() -> None:
     kg_pipeline_run(spark, max(600, n_convs // 20), career_reps=career_reps)
     kg_trial_log: list[dict] = []
     results: dict[float, tuple] = {}
+    budget_t0 = time.monotonic()
     while len(kg_trial_log) < max(kg_trials, 1) + kg_max_trials:
+        clean = [tr for tr in kg_trial_log if not tr["discarded"]]
+        over_budget = time.monotonic() - budget_t0 > kg_budget_s
+        # once the mandatory K trials ran, extra trials are only for
+        # hunting a clean one — and only while the budget lasts
+        if len(kg_trial_log) >= max(kg_trials, 1) and (clean or over_budget):
+            break
+        # don't launch a 12 s trial into a steal burst the probe can
+        # already see (r4: six-for-six contaminated); wait briefly for a
+        # quiet window, budget-bounded
+        quiet = _wait_for_quiet(
+            max_steal, max_wait_s=min(90.0, max(kg_budget_s - (time.monotonic() - budget_t0), 0.0))
+        )
         before = _cpu_stat()
         w, t, u, c, e = kg_pipeline_run(spark, n_convs, career_reps=career_reps)
         steal = _steal_pct(before, _cpu_stat())
         kg_trial_log.append(
-            {"wall": round(w, 3), "steal_pct": steal, "discarded": steal > max_steal}
+            {
+                "wall": round(w, 3),
+                "steal_pct": steal,
+                "discarded": steal > max_steal,
+                "quiet_wait": quiet,
+            }
         )
         results[round(w, 3)] = (t, u, c, e)
-        clean = [tr for tr in kg_trial_log if not tr["discarded"]]
-        if len(kg_trial_log) >= max(kg_trials, 1) and clean:
-            break
     clean = [tr for tr in kg_trial_log if not tr["discarded"]]
     kg_steal_fallback = not clean
     wall = min((tr["wall"] for tr in (clean or kg_trial_log)))
@@ -395,6 +444,10 @@ def main() -> None:
     for name in HEADLINE:
         trials: list[dict] = []
         while len(trials) < max(kg_trials, 1) + 1:
+            if trials and trials[-1]["discarded"]:
+                # previous trial burned in a burst — pause for calm before
+                # the retry (short probe: these queries cost ~0.2-3 s)
+                _wait_for_quiet(max_steal, probe_s=1.0, max_wait_s=20.0)
             before = _cpu_stat()
             t0 = time.monotonic()
             df = qdict[name](spark, sf_dir)

@@ -84,6 +84,7 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
@@ -480,17 +481,41 @@ def snapshot_conv_count(store: CheckpointStore, snapshot_id: str) -> int:
     return n
 
 
-# Default rebuild knee, measured in BENCH/crossover.json (sweep: base
-# 3k/12k/48k convs x delta 1-50%) and recorded in BENCH/BASELINE.md
-# §"Incremental-vs-rebuild crossover". Above this delta/base conversation
-# ratio a full rebuild is cheaper than incremental maintenance (the delta
-# path pays a ~per-commit latency floor plus CoW vocabulary rewrites that
-# a straight-line batch run does not); below it the delta path wins and
-# its cost stays O(delta + vocabulary), independent of history size.
-REBUILD_RATIO = 0.30
-# Below this base size the commit floor dominates both paths and rebuild
-# is never meaningfully slower — skip the incremental machinery outright.
-REBUILD_FLOOR_CONVS = 2000
+@dataclass(frozen=True)
+class MaintenanceCostModel:
+    """Linear wall-clock model fitted to BENCH/crossover.json (15-cell
+    sweep: base 3k/12k/48k convs × delta 1-50%, 12 turns/conv, 32-core
+    sandbox; least-squares, 14/15 decision agreement within the ±12%
+    noise band — BENCH/BASELINE.md §"Incremental-vs-rebuild crossover"):
+
+        delta_cost   = delta_floor + per_base·base + per_delta·delta
+        rebuild_cost = rebuild_floor + per_conv·(base + delta)
+
+    The delta path's cost is dominated by its FLOOR (per-stage commit
+    latency) plus a base-proportional term (CoW vocabulary/bucket
+    rewrites), with the delta-proportional term tiny — so the measured
+    knee is in BASE SIZE (~10k convs at these constants), not the
+    delta/base ratio: below it the straight-line batch rebuild wins at
+    ANY delta fraction, above it incremental wins even at 50/50 (48k
+    base: 1.01-1.69× across all fractions). Constants are this sandbox's
+    seconds/conversation; a deployment recalibrates by re-running
+    tools/bench_crossover.py against its own cluster."""
+
+    delta_floor_s: float = 14.32
+    delta_per_base_conv_s: float = 3.75e-4
+    delta_per_delta_conv_s: float = 6.03e-4
+    rebuild_floor_s: float = 11.47
+    rebuild_per_conv_s: float = 6.68e-4
+
+    def predict(self, base_convs: int, delta_convs: int) -> tuple[float, float]:
+        """→ (incremental_cost_s, rebuild_cost_s)."""
+        d = (
+            self.delta_floor_s
+            + self.delta_per_base_conv_s * base_convs
+            + self.delta_per_delta_conv_s * delta_convs
+        )
+        r = self.rebuild_floor_s + self.rebuild_per_conv_s * (base_convs + delta_convs)
+        return d, r
 
 
 def maintain(
@@ -500,8 +525,7 @@ def maintain(
     snapshot_id: str,
     new_transcripts: DataFrame,
     rescan: str = "exact",
-    rebuild_ratio: float = REBUILD_RATIO,
-    floor_convs: int = REBUILD_FLOOR_CONVS,
+    cost_model: MaintenanceCostModel | None = None,
     force: str | None = None,
     **pipeline_kwargs,
 ):
@@ -509,18 +533,19 @@ def maintain(
     ``rebuild_if_cheaper`` policy escape for incremental maintenance.
 
     Measures nothing at decision time beyond two conversation counts
-    (delta: delta-sized; base: cached by ``snapshot_conv_count``) and
-    picks:
+    (delta: delta-sized; base: cached by ``snapshot_conv_count``), asks
+    the ``cost_model`` (default: the BENCH/crossover.json fit) which path
+    is predicted cheaper, and runs it:
 
-    - **incremental** (``IncrementalPipeline``) when the delta is small
-      relative to the base (``delta_convs < rebuild_ratio * base_convs``)
-      and the base is past the commit-latency floor — the regime where
-      BENCH/crossover.json measures the delta path winning;
+    - **incremental** (``IncrementalPipeline``) — the large-base regime,
+      where the delta path's O(delta + vocabulary) cost beats a full
+      O(history) rebuild;
     - **rebuild** (batch ``Pipeline`` over ``full_view`` history minus the
-      replaced conversations, union the delta) otherwise. The rebuild
-      lands as a NEW BATCH snapshot (no parent pointer): it starts a
-      fresh chain, exactly like ``compact_snapshot``'s output, and the
-      caller should treat the returned snapshot as the new base.
+      replaced conversations, union the delta) — the small-base /
+      commit-floor regime. The rebuild lands as a NEW BATCH snapshot (no
+      parent pointer): it starts a fresh chain, exactly like
+      ``compact_snapshot``'s output, and the caller should treat the
+      returned snapshot as the new base.
 
     ``force``: ``"incremental"`` / ``"rebuild"`` overrides the policy
     (operational escape hatch). Returns ``(path, result)`` with ``path``
@@ -533,9 +558,11 @@ def maintain(
         raise ValueError(f"force must be None|'incremental'|'rebuild', got {force!r}")
     store = CheckpointStore(spark, warehouse)
     if force is None:
+        model = cost_model or MaintenanceCostModel()
         delta_convs = new_transcripts.select("conv_id").distinct().count()
         base_convs = snapshot_conv_count(store, base_snapshot)
-        rebuild = base_convs <= floor_convs or delta_convs >= rebuild_ratio * base_convs
+        inc_cost, reb_cost = model.predict(base_convs, delta_convs)
+        rebuild = reb_cost <= inc_cost
     else:
         rebuild = force == "rebuild"
 

@@ -477,12 +477,14 @@ def test_crash_before_completion_leaves_no_orphan_pointer(spark, tmp_path, monke
 
 
 def test_maintain_policy_picks_path_by_crossover(spark, tmp_path):
-    """rebuild_if_cheaper (r4 verdict item 2): maintain() routes the delta
-    through IncrementalPipeline below the measured knee and through a
-    full batch rebuild above it — both paths reproducing the batch
-    pipeline over base ∪ delta exactly (including a REPLACED conversation,
-    which the rebuild must drop from history before unioning)."""
+    """rebuild_if_cheaper (r4 verdict item 2): maintain() asks the
+    crossover-fitted cost model which path is predicted cheaper and runs
+    it — both paths reproducing the batch pipeline over base ∪ delta
+    exactly (including a REPLACED conversation, which the rebuild must
+    drop from history before unioning). The default model's decisions
+    are separately pinned against the measured sweep cells below."""
     from information_extraction_from_biographies_spark.plans.incremental import (
+        MaintenanceCostModel,
         maintain,
         snapshot_conv_count,
         snapshot_parent,
@@ -495,19 +497,26 @@ def test_maintain_policy_picks_path_by_crossover(spark, tmp_path):
     base_t, delta_t = _split_convs(spark, fixture, 16)
     sdf = fx.transcripts_sdf(spark, fixture)
 
-    # --- below the knee: 4/16 = 0.25 < 0.30, floor disabled → incremental
+    # a model that predicts incremental cheaper at toy scale (the default
+    # model correctly never does below its ~10k-conv base knee)
+    inc_model = MaintenanceCostModel(
+        delta_floor_s=0.0, delta_per_base_conv_s=0.0, delta_per_delta_conv_s=0.0
+    )
+
+    # --- incremental branch: exact equality with the batch pipeline
     wh1 = str(tmp_path / "w1")
     Pipeline(spark, wh1, snapshot_id="s1").run(base_t)
     path, res = maintain(
-        spark, wh1, "s1", "s2", delta_t, rescan="exact", floor_convs=0
+        spark, wh1, "s1", "s2", delta_t, rescan="exact", cost_model=inc_model
     )
     assert path == "incremental"
     assert snapshot_parent(wh1, "s2") == "s1"
     full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(sdf)
     _assert_equal_results(res, full)
 
-    # --- above the knee: replay 6 base convs + the 4 new = 10/16 = 0.625
-    # (one replaced conversation gets NEW text, proving history rows drop)
+    # --- rebuild branch (default model, toy base = floor regime):
+    # delta replays 6 base convs + the 4 new; one replaced conversation
+    # gets NEW text, proving history rows drop before the union
     wh2 = str(tmp_path / "w2")
     Pipeline(spark, wh2, snapshot_id="s1").run(base_t)
     conv_ids = sorted(
@@ -522,9 +531,7 @@ def test_maintain_policy_picks_path_by_crossover(spark, tmp_path):
         ).otherwise(F.col("text")),
     )
     big_delta = changed.unionByName(delta_t)
-    path2, res2 = maintain(
-        spark, wh2, "s1", "s2", big_delta, rescan="exact", floor_convs=0
-    )
+    path2, res2 = maintain(spark, wh2, "s1", "s2", big_delta, rescan="exact")
     assert path2 == "rebuild"
     assert snapshot_parent(wh2, "s2") is None  # a fresh batch root
     # reference: batch over history-minus-replaced ∪ delta
@@ -548,7 +555,7 @@ def test_maintain_policy_picks_path_by_crossover(spark, tmp_path):
     one = delta_t.join(
         delta_t.select("conv_id").distinct().limit(1), "conv_id", "leftsemi"
     )
-    path3, _res3 = maintain(spark, wh3, "s1", "s2", one)  # default floor 2000
+    path3, _res3 = maintain(spark, wh3, "s1", "s2", one)  # default model
     assert path3 == "rebuild"
 
     # --- force overrides the policy in both directions
@@ -558,6 +565,20 @@ def test_maintain_policy_picks_path_by_crossover(spark, tmp_path):
     assert path4 == "incremental"
     path5, _ = maintain(spark, wh4, "s2", "s3", one, force="rebuild")
     assert path5 == "rebuild"
+
+    # --- the default model reproduces the measured sweep decisions
+    # (BENCH/crossover.json): incremental above the base knee at any
+    # delta fraction, rebuild below it
+    m = MaintenanceCostModel()
+    for base, delta, inc_wins in [
+        (2978, 22, False),     # 3k base: floor regime, every fraction
+        (2700, 300, False),
+        (11880, 120, True),    # 12k @1% measured 1.45x
+        (43282, 4718, True),   # 48k @10% measured 1.34x
+        (24172, 23828, True),  # 48k @50% measured 1.01x
+    ]:
+        d_cost, r_cost = m.predict(base, delta)
+        assert (d_cost < r_cost) == inc_wins, (base, delta, d_cost, r_cost)
 
     # conv counts resolve through the chain and cache in the sidecar
     store = CheckpointStore(spark, wh1)

@@ -190,7 +190,11 @@ def main() -> None:
         "target": 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # SPARK_GRAFT_SCALING_OUT: alternate filename (under BENCH/) so extra
+    # legs (e.g. the 8→32 pair, SPARK_GRAFT_SCALING_N=8) don't clobber
+    # the authoritative north-rule 2→8 record in scaling.json
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

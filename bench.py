@@ -39,33 +39,52 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[1] - before[1]) / dt, 2)
 
 
-def _wait_for_quiet(
-    max_steal: float, probe_s: float = 2.0, max_wait_s: float = 90.0
-) -> dict:
-    """Hold the next trial until a probe window shows the host calm.
+def _busy_probe(cpus: int, probe_s: float = 1.5) -> float:
+    """Steal measured UNDER LOAD. An idle /proc/stat window shows ~0%
+    steal even while co-tenants saturate the physical cores, because
+    steal only accrues when OUR vCPUs demand cycles and are denied
+    (measured here: idle probes 0.0-0.7% immediately before trials that
+    ran at 4-8%). Spin ``cpus`` busy workers for ``probe_s`` and read the
+    steal that accrues — the direct answer to "can the hypervisor deliver
+    my full width right now?"."""
+    import multiprocessing as mp
 
-    Co-tenant steal arrives in multi-second bursts (r4: all six flagship
-    trials landed inside one sustained burst and were discarded —
-    `steal_fallback: true`), so launching a 12 s trial into a window the
-    probe can already see is contaminated wastes the whole trial. Probe
-    /proc/stat steal over ``probe_s``; launch when a window is at or
-    under HALF the discard bar (headroom for the burst resuming
-    mid-trial), give up after ``max_wait_s`` and launch anyway — the
-    discard policy still adjudicates the trial itself."""
+    def _spin(stop_t: float) -> None:
+        while time.monotonic() < stop_t:
+            pass
+
+    b = _cpu_stat()
+    stop = time.monotonic() + probe_s
+    procs = [mp.Process(target=_spin, args=(stop,), daemon=True) for _ in range(cpus)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return _steal_pct(b, _cpu_stat())
+
+
+def _wait_for_quiet(
+    max_steal: float, cpus: int, probe_s: float = 1.5, max_wait_s: float = 90.0
+) -> dict:
+    """Hold the next trial until a BUSY probe shows the host can deliver
+    the trial's full width (co-tenant steal arrives in multi-second-to-
+    minutes bursts; r4: all six flagship trials landed inside one
+    sustained burst and were discarded — `steal_fallback: true`).
+    Launching a 12 s trial into a window the probe can already see is
+    contaminated wastes the whole trial. Give up after ``max_wait_s`` and
+    launch anyway — the discard policy still adjudicates the trial."""
     waited = 0.0
     probes: list[float] = []
     while True:
-        b = _cpu_stat()
-        time.sleep(probe_s)
-        s = _steal_pct(b, _cpu_stat())
+        s = _busy_probe(cpus, probe_s)
         probes.append(s)
         waited += probe_s
-        if s <= max_steal * 0.5:
+        if s <= max_steal:
             return {"waited_s": round(waited, 1), "probes": probes, "quiet": True}
         if waited >= max_wait_s:
             return {"waited_s": round(waited, 1), "probes": probes, "quiet": False}
-        time.sleep(min(3.0, probe_s))
-        waited += min(3.0, probe_s)
+        time.sleep(4.0)
+        waited += 4.0
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -256,7 +275,9 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
         trial_log = []
         for t in range(max(trials, 1) + 1):
             if trial_log and trial_log[-1]["discarded"]:
-                _wait_for_quiet(max_steal, max_wait_s=30.0)
+                _wait_for_quiet(
+                    max_steal, int(os.environ.get("SPARK_GRAFT_CPUS", "32")), max_wait_s=30.0
+                )
             before = _cpu_stat()
             t0 = time.monotonic()
             # run() is eager — every delta stage table is committed to
@@ -402,7 +423,9 @@ def main() -> None:
         # already see (r4: six-for-six contaminated); wait briefly for a
         # quiet window, budget-bounded
         quiet = _wait_for_quiet(
-            max_steal, max_wait_s=min(90.0, max(kg_budget_s - (time.monotonic() - budget_t0), 0.0))
+            max_steal,
+            cpus,
+            max_wait_s=min(90.0, max(kg_budget_s - (time.monotonic() - budget_t0), 0.0)),
         )
         before = _cpu_stat()
         w, t, u, c, e = kg_pipeline_run(spark, n_convs, career_reps=career_reps)
@@ -447,7 +470,7 @@ def main() -> None:
             if trials and trials[-1]["discarded"]:
                 # previous trial burned in a burst — pause for calm before
                 # the retry (short probe: these queries cost ~0.2-3 s)
-                _wait_for_quiet(max_steal, probe_s=1.0, max_wait_s=20.0)
+                _wait_for_quiet(max_steal, cpus, probe_s=1.0, max_wait_s=20.0)
             before = _cpu_stat()
             t0 = time.monotonic()
             df = qdict[name](spark, sf_dir)

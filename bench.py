@@ -235,8 +235,11 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
     base wall stands in for "full recompute" (it underestimates it by the
     delta fraction, so the reported speedup is conservative).
 
-    Returns {base_wall, delta_wall, speedup, delta_turns,
-    delta_turns_per_sec, base_convs, delta_convs}."""
+    Returns {base_wall, delta_wall, rebuild_wall, speedup(s), delta_turns,
+    delta_turns_per_sec, base_convs, delta_convs, policy_choice,
+    policy_agrees_with_measured, maintain_wall} — the policy fields show
+    what ``plans.incremental.maintain`` (rebuild_if_cheaper) would have
+    picked at this cell and what that caller would have paid."""
     import shutil
     import tempfile
 
@@ -307,6 +310,17 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
         delta_turns = delta_t.count()
         base_convs = base_t.select("conv_id").distinct().count()
         delta_convs = delta_t.select("conv_id").distinct().count()
+        # What the rebuild_if_cheaper policy (plans.incremental.maintain)
+        # would have chosen at this cell, and whether the measured walls
+        # agree — evidences the escape live at the driver-bench scale
+        # (below the ~10k-conv knee the policy must pick rebuild).
+        from information_extraction_from_biographies_spark.plans.incremental import (
+            MaintenanceCostModel,
+        )
+
+        inc_pred, reb_pred = MaintenanceCostModel().predict(base_convs, delta_convs)
+        policy_choice = "rebuild" if reb_pred <= inc_pred else "incremental"
+        measured_cheaper = "rebuild" if rebuild_wall <= delta_wall else "incremental"
         return {
             "base_wall": round(base_wall, 3),
             "delta_wall": round(delta_wall, 3),
@@ -321,6 +335,9 @@ def kg_incremental_run(spark, n_convs: int, delta_pct: float = 10.0, career_reps
             else None,
             "base_convs": base_convs,
             "delta_convs": delta_convs,
+            "policy_choice": policy_choice,
+            "policy_agrees_with_measured": policy_choice == measured_cheaper,
+            "maintain_wall": round(min(rebuild_wall, delta_wall), 3),
             "trials": trial_log,
         }
     finally:
@@ -546,6 +563,8 @@ def main() -> None:
                 "speedup_vs_rebuild",
                 "speedup",
                 "delta_turns_per_sec",
+                "policy_choice",
+                "maintain_wall",
             )
         }
         if incr

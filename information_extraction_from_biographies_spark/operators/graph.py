@@ -261,7 +261,10 @@ def to_graphml(
             lines.append(f"<node id={nid}>")
             for k, v in attrs.items():
                 lines.append(
-                    f'<data key="{key_ids[k]}">{sx.escape(str(v))}</data>'
+                    # \r must be a charref: XML end-of-line normalization
+                    # rewrites a literal \r to \n in ALL content on parse
+                    f'<data key="{key_ids[k]}">'
+                    f'{sx.escape(str(v), {chr(13): "&#13;"})}</data>'
                 )
             lines.append("</node>")
         else:
@@ -269,7 +272,9 @@ def to_graphml(
     for _, row in edges_pdf.iterrows():
         s = sx.quoteattr(str(row[src_col]))
         t = sx.quoteattr(str(row[dst_col]))
-        v = sx.escape(str(row["weight"] if weighted else row["pred"]))
+        v = sx.escape(
+            str(row["weight"] if weighted else row["pred"]), {"\r": "&#13;"}
+        )
         lines.append(
             f'<edge source={s} target={t}><data key="{edge_key}">{v}</data></edge>'
         )
@@ -279,13 +284,20 @@ def to_graphml(
 
 
 def _xml_escape(col: Column) -> Column:
-    """XML-escape a string column JVM-side (&, <, >, \") — the executor
-    half of write_graphml; equivalent to saxutils escaping for both
-    attribute values (we always quote with \") and text content."""
+    """XML-escape a string column JVM-side (&, <, >, \", and control
+    whitespace) — the executor half of write_graphml. \\n/\\r/\\t become
+    character references: in attribute values a literal newline would be
+    normalized to a space by any conforming parser (silent data
+    mutation vs to_graphml's quoteattr), and in EITHER context a raw
+    newline would split the one-row-per-line text fragment this writer
+    emits. &#10;/&#13;/&#9; round-trip to the original characters."""
     c = F.replace(col.cast("string"), F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
     c = F.replace(c, F.lit(">"), F.lit("&gt;"))
-    return F.replace(c, F.lit('"'), F.lit("&quot;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    c = F.replace(c, F.lit("\n"), F.lit("&#10;"))
+    c = F.replace(c, F.lit("\r"), F.lit("&#13;"))
+    return F.replace(c, F.lit("\t"), F.lit("&#9;"))
 
 
 def write_graphml(

@@ -205,10 +205,13 @@ def all_triples(
     index: SurfaceIndexHandle,
     mention_rows: DataFrame | None = None,
     registry_surfaces_df: DataFrame | None = None,
+    lexicons=None,
 ) -> DataFrame:
     """Union of the four channels. Pass ``mention_rows`` (the stage-2 scan
     output — persist it, co-occurrence reads it too) so the automaton runs
-    once; without it the scan is computed here."""
+    once; without it the scan is computed here. ``lexicons``: a
+    gazetteers.Lexicons bundle threaded to the hometown (N7) place probe;
+    None → defaults (every other channel reads only its inputs)."""
     from . import scan as scan_op
 
     if mention_rows is None:
@@ -222,6 +225,6 @@ def all_triples(
     return (
         kinship_triples(conv_aliases)
         .unionByName(verb_triples(turns, meta, ps))
-        .unionByName(hometown_triples(turns, meta))
+        .unionByName(hometown_triples(turns, meta, lexicons=lexicons))
         .unionByName(vital_triples(meta))
     )

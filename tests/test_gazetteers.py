@@ -155,3 +155,40 @@ def test_pipeline_parity_at_public_dictionary_scale(spark, tmp_path):
         a = sorted(map(repr, res_default.tables[t].collect()))
         b = sorted(map(repr, res_scaled.tables[t].collect()))
         assert a == b, f"table {t} diverged under public-scale lexicons"
+
+
+def test_all_triples_threads_lexicons_to_hometown(spark):
+    """The operator-level composition path honors a custom place
+    gazetteer: all_triples(..., lexicons=...) threads it to the N7
+    hometown channel (previously the one call site that silently fell
+    back to DEFAULT_LEXICONS — custom places were never extracted)."""
+    from information_extraction_from_biographies_spark.operators import scan, triples
+
+    place = "㐀㐁"  # CJK Ext-A — absent from the built-in place list
+    assert place not in gz.DEFAULT_LEXICONS.places
+    custom = gz.Lexicons.build(gz.SURNAMES, (place,))
+    turns = spark.createDataFrame(
+        [("c1", 0, f"陳一，{place}人，幼年習樂。", "陳一")],
+        "conv_id string, turn_idx int, norm_text string, biographee string",
+    )
+    meta = spark.createDataFrame(
+        [("c1", "陳一", None, None, [])],
+        "conv_id string, biographee string, birth string, death string, "
+        "authors array<string>",
+    )
+    aliases = spark.createDataFrame(
+        [], "conv_id string, name string, alias_type string, alias string"
+    )
+    surfaces = spark.createDataFrame(
+        [("陳一", "陳一", "name")], "surface string, person string, kind string"
+    )
+    index = scan.build_surface_index(surfaces)
+
+    got = triples.all_triples(aliases, turns, meta, index, lexicons=custom)
+    born = [
+        (r.subj, r.pred, r.obj) for r in got.filter("source = 'born-in'").collect()
+    ]
+    assert born == [("陳一", "born-in", place)]
+    # defaults miss it — proves the parameter, not the text, did the work
+    missed = triples.all_triples(aliases, turns, meta, index)
+    assert missed.filter("source = 'born-in'").count() == 0

@@ -239,6 +239,27 @@ def test_write_graphml_distributed_matches_pandas_writer(spark, tmp_path):
         str(tmp_path / "r_ref.graphml")
     )
 
+    # control whitespace: a newline in an attribute value would be
+    # normalized to a space by any conforming parser unless written as
+    # &#10; (as to_graphml's quoteattr does), and a raw newline would
+    # split write_graphml's one-row-per-line text fragments — both
+    # writers must round-trip \n/\r/\t byte-identically after parse
+    ws_names = ["a\nb", "c\td"]
+    ws_attrs = [{"k": "v1\nv2"}, {"k": "x\ry"}]
+    ws_nodes_pdf = pd.DataFrame({"name": ws_names, "attrs": ws_attrs})
+    ws_nodes_sdf = spark.createDataFrame(
+        list(zip(ws_names, ws_attrs)), "name string, attrs map<string,string>"
+    )
+    ws_edges_pdf = pd.DataFrame(
+        {"subj": ["a\nb"], "pred": ["knows\nwell"], "obj": ["c\td"]}
+    )
+    ws_edges_sdf = spark.createDataFrame(ws_edges_pdf)
+    to_graphml(ws_nodes_pdf, ws_edges_pdf, str(tmp_path / "ws_ref.graphml"))
+    write_graphml(ws_nodes_sdf, ws_edges_sdf, str(tmp_path / "ws_dist.graphml"))
+    ws_parsed = parsed(str(tmp_path / "ws_dist.graphml"))
+    assert ws_parsed == parsed(str(tmp_path / "ws_ref.graphml"))
+    assert set(ws_parsed[0]) == {"a\nb", "c\td"}  # ids survive verbatim
+
     # many-partition input still yields one well-formed file
     big_nodes = spark.range(0, 500, 1, 8).selectExpr(
         "concat('n', id) as name", "map('t', concat('v', id)) as attrs"

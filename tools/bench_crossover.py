@@ -5,8 +5,9 @@ checkpointed base over (1-pct) of the corpus, apply the rest through
 IncrementalPipeline (rescan="none"), and run a full checkpointed rebuild
 over the whole corpus — bench.kg_incremental_run verbatim. The knee per
 base size is the delta fraction where delta_wall crosses rebuild_wall;
-plans.incremental.maintain()'s default ``rebuild_ratio`` comes from this
-table (recorded in BENCH/BASELINE.md §incremental crossover).
+the ``MaintenanceCostModel`` constants in plans/incremental.py (which
+drive ``maintain()``'s rebuild-vs-incremental decision) are fitted to
+this table (recorded in BENCH/BASELINE.md §incremental crossover).
 
 Writes BENCH/crossover.json. Usage:
     python tools/bench_crossover.py [n ...]      # default 3000 12000 48000
@@ -50,6 +51,7 @@ def main() -> None:
                 "rebuild_wall": r["rebuild_wall"],
                 "speedup_vs_rebuild": r["speedup_vs_rebuild"],
                 "trials": r["trials"],
+                "rebuild_trials": r.get("rebuild_trials"),
             }
             cells.append(cell)
             print(json.dumps(cell), flush=True)

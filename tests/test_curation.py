@@ -619,6 +619,14 @@ def test_curate_corpus_token_mode_cjk(spark):
         for r in packed.select("pack_id", "pack_tokens").distinct().collect()
     }
     assert per_pack and all(v <= 9 for v in per_pack.values())
-    # ws mode really would be degenerate here: one giant pack
+    # ws mode really would be degenerate here: every spaceless doc counts
+    # as ONE token, so the budget never splits anything. (Assert on the
+    # per-doc token unit, not the pack count — FFD packing is partition-
+    # local by design, so the number of packs a 8-row toy corpus lands in
+    # depends on the runtime partition layout, which AQE may vary.)
     _, packed_ws, _ = curate_corpus(docs, budget=9, audit=False)
-    assert packed_ws.select("pack_id").distinct().count() == 1
+    ws_rows = packed_ws.select("n_tokens", "pack_tokens").collect()
+    assert all(r["n_tokens"] == 1 for r in ws_rows)
+    # and with every doc at 1 token, no pack comes close to the budget
+    # boundary the cjk mode had to respect
+    assert all(r["pack_tokens"] <= len(zh) for r in ws_rows)

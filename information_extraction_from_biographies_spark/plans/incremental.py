@@ -128,6 +128,19 @@ def _meta_path(warehouse: str, snapshot_id: str) -> str:
     return os.path.join(warehouse, "_incremental", f"{snapshot_id}.json")
 
 
+def _write_json_atomic(path: str, payload: dict) -> None:
+    """tmp + os.replace — the same atomic commit point the store's
+    lineage writes use. A torn metadata JSON is worse than a missing
+    one: ``snapshot_parent`` / ``latest_snapshot`` iterate EVERY meta
+    file, so one half-written file from a crashed driver would poison
+    chain resolution warehouse-wide until deleted by hand."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def snapshot_parent(warehouse: str, snapshot_id: str) -> str | None:
     """Parent snapshot id if ``snapshot_id`` was committed incrementally."""
     p = _meta_path(warehouse, snapshot_id)
@@ -240,6 +253,19 @@ def chain_has(store: CheckpointStore, table: str, snapshot_id: str) -> bool:
     return True
 
 
+def _chain_any(store: CheckpointStore, table: str, snapshot_id: str) -> bool:
+    """Is ``table`` committed at ANY member of the snapshot chain? (The
+    chained read cannot resolve unless ``chain_has``, but compaction
+    rebuilds from the compacted turns anyway — any level carrying the
+    table evidences the operator opted into it.)"""
+    sid: str | None = snapshot_id
+    while sid is not None:
+        if store.is_committed(table, sid):
+            return True
+        sid = snapshot_parent(store.warehouse, sid)
+    return False
+
+
 def full_view_stops(store: CheckpointStore, snapshot_id: str) -> DataFrame:
     """Union of the ``gram_stops`` stoplists committed anywhere on the
     chain. Stops are STICKY (union, no replacement): a gram stopped at
@@ -336,8 +362,12 @@ def compact_snapshot(
     # frequencies over the full corpus (compaction is already an
     # O(corpus) rewrite) refreshes the stop set instead, healing both
     # grams that became hot since the base build and stops inherited
-    # from smaller corpora.
-    rebuild_index = chain_has(store, "turn_grams", snapshot_id)
+    # from smaller corpora. Rebuilt when ANY chain level carries the
+    # index, not only a fully-indexed chain: a partially-backfilled
+    # chain (ensure_gram_index crashed mid-chain) would otherwise lose
+    # the index the operator paid an O(history) backfill for, silently
+    # degrading every later rescan="indexed" to the full-history scan.
+    rebuild_index = _chain_any(store, "turn_grams", snapshot_id)
     for t in tables:
         if t in ("turn_grams", "gram_stops"):
             continue
@@ -361,16 +391,21 @@ def compact_snapshot(
         )
         done.append(t)
     if rebuild_index:
+        if buckets is not None:
+            gram_buckets = buckets
+        elif chain_has(store, "turn_grams", snapshot_id):
+            gram_buckets = auto_bucket_count(full_view(store, "turn_grams", snapshot_id))
+        else:
+            # partially-indexed chain: the chained gram view cannot
+            # resolve — size from the compacted turn table instead (the
+            # gram table derives from it; same order of magnitude)
+            gram_buckets = auto_bucket_count(store.read("stage0_turns", new_snapshot))
         done += build_gram_index(
             store,
             new_snapshot,
             turns=store.read("stage0_turns", new_snapshot),
             n_convs=store.lineage("stage0_meta", new_snapshot)["total_rows"],
-            buckets=(
-                buckets
-                if buckets is not None
-                else auto_bucket_count(full_view(store, "turn_grams", snapshot_id))
-            ),
+            buckets=gram_buckets,
         )
     return done
 
@@ -472,12 +507,13 @@ def snapshot_conv_count(store: CheckpointStore, snapshot_id: str) -> int:
     view (one row per conversation — never the turns table)."""
     p = _stats_path(store.warehouse, snapshot_id)
     if os.path.exists(p):
-        with open(p, encoding="utf-8") as f:
-            return json.load(f)["n_convs"]
+        try:
+            with open(p, encoding="utf-8") as f:
+                return json.load(f)["n_convs"]
+        except (ValueError, KeyError):
+            pass  # torn/legacy sidecar — recount and rewrite below
     n = full_view(store, "stage0_meta", snapshot_id).count()
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    with open(p, "w", encoding="utf-8") as f:
-        json.dump({"n_convs": n}, f)
+    _write_json_atomic(p, {"n_convs": n})
     return n
 
 
@@ -550,14 +586,63 @@ def maintain(
     ``force``: ``"incremental"`` / ``"rebuild"`` overrides the policy
     (operational escape hatch). Returns ``(path, result)`` with ``path``
     the choice made. ``pipeline_kwargs`` are forwarded to whichever
-    pipeline runs (shared subset: user_dict, lexicons, buckets,
-    max_conv_turns, group_partitioner)."""
+    pipeline runs; kwargs only the OTHER path accepts are dropped for the
+    chosen one (``gram_index``/``registry_via_file``/... are batch-only,
+    ``rescan_via_file``/``enable_cow``/... incremental-only — an operator
+    setting them must not crash the day the policy flips paths), while a
+    kwarg NEITHER accepts raises immediately (typo protection).
+
+    The chosen path is PINNED per snapshot id (``_maintain/{id}.json``,
+    written atomically before any table commit): both pipelines resume
+    from committed tables by name, so retrying a crashed attempt under
+    the OTHER path would silently resume a full batch build from the
+    prior attempt's delta-only tables (or vice versa) and drop the base
+    history. A retry therefore follows the pinned path even if the
+    policy re-decides differently; ``force`` against the pin raises —
+    start a fresh snapshot_id (and expire the partial one) to switch."""
+    import inspect
+
     from .pipeline import Pipeline
 
     if force not in (None, "incremental", "rebuild"):
         raise ValueError(f"force must be None|'incremental'|'rebuild', got {force!r}")
+
+    def _accepted(cls) -> set:
+        fixed = {"self", "spark", "warehouse", "snapshot_id", "base_snapshot"}
+        return set(inspect.signature(cls.__init__).parameters) - fixed
+
+    batch_keys, inc_keys = _accepted(Pipeline), _accepted(IncrementalPipeline)
+    unknown = set(pipeline_kwargs) - batch_keys - inc_keys
+    if unknown:
+        raise TypeError(
+            f"maintain() got kwargs neither pipeline accepts: {sorted(unknown)}"
+        )
+
     store = CheckpointStore(spark, warehouse)
-    if force is None:
+    marker_p = os.path.join(warehouse, "_maintain", f"{snapshot_id}.json")
+    prior: dict | None = None
+    if os.path.exists(marker_p):
+        with open(marker_p, encoding="utf-8") as f:
+            prior = json.load(f)
+    if prior is not None:
+        if prior.get("base") != base_snapshot:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} carries a maintenance attempt over base "
+                f"{prior.get('base')!r}; resuming it over {base_snapshot!r} would mix "
+                "histories — use a fresh snapshot_id"
+            )
+        pinned = prior["path"]
+        if force is not None and force != pinned:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} carries a partial {pinned!r} maintenance "
+                f"attempt; resuming it as {force!r} would resume from the prior "
+                "attempt's committed tables and mix incremental and batch table "
+                "levels under one snapshot id — retry with force=" + repr(pinned)
+                + " (or no force) to finish it, or use a fresh snapshot_id and "
+                "expire this one (expire_branch + CheckpointStore.expire_snapshots)"
+            )
+        rebuild = pinned == "rebuild"
+    elif force is None:
         model = cost_model or MaintenanceCostModel()
         delta_convs = new_transcripts.select("conv_id").distinct().count()
         base_convs = snapshot_conv_count(store, base_snapshot)
@@ -565,6 +650,11 @@ def maintain(
         rebuild = reb_cost <= inc_cost
     else:
         rebuild = force == "rebuild"
+    if prior is None:
+        _write_json_atomic(
+            marker_p,
+            {"path": "rebuild" if rebuild else "incremental", "base": base_snapshot},
+        )
 
     if rebuild:
         delta_ids = new_transcripts.select("conv_id").distinct()
@@ -574,13 +664,13 @@ def maintain(
             .join(delta_ids, "conv_id", "left_anti")
         )
         full = history.unionByName(new_transcripts.select(*TURN_COLS))
-        res = Pipeline(spark, warehouse, snapshot_id=snapshot_id, **pipeline_kwargs).run(full)
+        kw = {k: v for k, v in pipeline_kwargs.items() if k in batch_keys}
+        res = Pipeline(spark, warehouse, snapshot_id=snapshot_id, **kw).run(full)
         return "rebuild", res
 
-    inc_kwargs = dict(pipeline_kwargs)
-    inc_kwargs.pop("gram_index", None)  # batch-only knob
+    kw = {k: v for k, v in pipeline_kwargs.items() if k in inc_keys}
     res = IncrementalPipeline(
-        spark, warehouse, base_snapshot, snapshot_id, **inc_kwargs
+        spark, warehouse, base_snapshot, snapshot_id, **kw
     ).run(new_transcripts, rescan=rescan)
     return "incremental", res
 
@@ -762,13 +852,11 @@ class IncrementalPipeline:
 
     # -- helpers -----------------------------------------------------
     def _write_meta(self, rescan_mode: str) -> None:
-        p = _meta_path(self.warehouse, self.snapshot_id)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "w", encoding="utf-8") as f:
-            json.dump(
-                {"parent": self.base, "rescan": rescan_mode},
-                f,
-            )
+        # this IS the snapshot's commit point — it must be atomic
+        _write_json_atomic(
+            _meta_path(self.warehouse, self.snapshot_id),
+            {"parent": self.base, "rescan": rescan_mode},
+        )
 
     def run(
         self, new_transcripts: DataFrame, rescan: str = "exact"
@@ -1088,11 +1176,18 @@ class IncrementalPipeline:
         # replaced is genuinely delta-sized, but excluded (the probe side)
         # is affected-conv-sized — leave the planner/AQE to size both
         rescanned = excluded.join(replaced, "conv_id", "left_anti")
-        # an empty rescan set (always under rescan="none"; common under
-        # "exact" when the delta registers no changed surfaces) would
-        # still force three full history reads through the unions below —
-        # gate them on one cheap probe of the tiny committed table
-        any_rescan = rescan != "none" and bool(rescanned.limit(1).count())
+        # an empty rescan set (a fresh rescan="none" run commits
+        # excluded_convs == replaced, so the anti-join is empty; common
+        # under "exact" when the delta registers no changed surfaces)
+        # would still force three full history reads through the unions
+        # below — gate them on one cheap probe of the committed table.
+        # Gate on the COMMITTED content, never on this run's rescan
+        # argument: a crashed rescan="exact" attempt retried under
+        # rescan="none" resumes the committed affected-conv excluded set,
+        # and skipping the rescan then would anti-join those
+        # conversations out of the full view without replacement rows —
+        # silently deleting their stage-2 history.
+        any_rescan = bool(rescanned.limit(1).count())
         if any_rescan:
             # file-pruned to the rescanned conversations' buckets when the
             # base chain carries the conv_id layout — the rescan re-read

@@ -614,3 +614,236 @@ def test_expire_branch_resolves_forked_chain(spark, tmp_path):
     assert expire_branch(wh, "fork_b") is False  # already gone — idempotent
     assert latest_snapshot(wh, "s1") == "fork_a"
     assert snapshot_parent(wh, "fork_a") == "s1"
+
+
+# ---------------------------------------------------------------------
+# round-5 review hardening: crash-retry and torn-sidecar regressions
+# ---------------------------------------------------------------------
+
+
+def test_rescan_crash_resumed_under_none_keeps_history(spark, tmp_path, monkeypatch):
+    """any_rescan gates on the COMMITTED excluded set, never this run's
+    rescan argument: a crashed rescan='exact' attempt (which committed an
+    affected-conv excluded_convs) retried under rescan='none' must still
+    union the rescanned conversations' replacement rows — otherwise the
+    full view anti-joins them out and silently deletes their stage-2
+    history."""
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    # seed 3 is the affected-history fixture: the delta provably rescans
+    # base conversations (test_rescan_set_contains_affected_history)
+    fixture = fx.make_fixture(n_convs=18, seed=3)
+    base_t, delta_t = _split_convs(spark, fixture, 12)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+
+    real_commit = CheckpointStore.commit
+    real_partial = CheckpointStore.commit_partial
+
+    def boom(self, df, table, snapshot_id, *a, **kw):
+        if table == "stage2_mentions" and snapshot_id == "s2":
+            raise RuntimeError("injected crash after excluded_convs")
+        return real_commit(self, df, table, snapshot_id, *a, **kw)
+
+    def boom_partial(self, df, table, snapshot_id, *a, **kw):
+        if table == "stage2_mentions" and snapshot_id == "s2":
+            raise RuntimeError("injected crash after excluded_convs")
+        return real_partial(self, df, table, snapshot_id, *a, **kw)
+
+    monkeypatch.setattr(CheckpointStore, "commit", boom)
+    monkeypatch.setattr(CheckpointStore, "commit_partial", boom_partial)
+    with pytest.raises(RuntimeError, match="injected"):
+        IncrementalPipeline(spark, wh, "s1", "s2").run(delta_t, rescan="exact")
+    monkeypatch.setattr(CheckpointStore, "commit", real_commit)
+    monkeypatch.setattr(CheckpointStore, "commit_partial", real_partial)
+
+    # the crash state the fix targets: an affected-conv excluded set is
+    # committed, stage-2 is not
+    store = CheckpointStore(spark, wh)
+    assert store.is_committed("excluded_convs", "s2")
+    assert not store.is_committed("stage2_mentions", "s2")
+    excluded = {r["conv_id"] for r in store.read("excluded_convs", "s2").collect()}
+    delta_ids = {r["conv_id"] for r in delta_t.select("conv_id").distinct().collect()}
+    assert excluded - delta_ids, "fixture no longer rescans history; test is vacuous"
+
+    # the cheap retry: same id, rescan="none" — must match the batch
+    # recompute (i.e. the rescanned history survived with fresh rows)
+    inc = IncrementalPipeline(spark, wh, "s1", "s2").run(delta_t, rescan="none")
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(inc, full)
+
+
+def test_maintain_pins_path_on_crash_retry(spark, tmp_path, monkeypatch):
+    """maintain() pins its path choice per snapshot id BEFORE any table
+    commit: both pipelines resume from committed tables by name, so
+    retrying a crashed incremental attempt as a rebuild would resume the
+    batch build from delta-only tables and silently drop the base
+    history. The pin refuses the flip (and a base swap), and the
+    un-forced retry follows the pin even where the default policy would
+    now choose rebuild."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        MaintenanceCostModel,
+        maintain,
+        snapshot_parent,
+    )
+    from information_extraction_from_biographies_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    fixture = fx.make_fixture(n_convs=14, seed=31)
+    base_t, delta_t = _split_convs(spark, fixture, 10)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+    inc_model = MaintenanceCostModel(
+        delta_floor_s=0.0, delta_per_base_conv_s=0.0, delta_per_delta_conv_s=0.0
+    )
+
+    real_commit = CheckpointStore.commit
+    real_partial = CheckpointStore.commit_partial
+
+    def boom(self, df, table, snapshot_id, *a, **kw):
+        if table == "stage1_people" and snapshot_id == "s2":
+            raise RuntimeError("injected crash mid-incremental")
+        return real_commit(self, df, table, snapshot_id, *a, **kw)
+
+    def boom_partial(self, df, table, snapshot_id, *a, **kw):
+        if table == "stage1_people" and snapshot_id == "s2":
+            raise RuntimeError("injected crash mid-incremental")
+        return real_partial(self, df, table, snapshot_id, *a, **kw)
+
+    monkeypatch.setattr(CheckpointStore, "commit", boom)
+    monkeypatch.setattr(CheckpointStore, "commit_partial", boom_partial)
+    with pytest.raises(RuntimeError, match="injected"):
+        maintain(spark, wh, "s1", "s2", delta_t, cost_model=inc_model)
+    monkeypatch.setattr(CheckpointStore, "commit", real_commit)
+    monkeypatch.setattr(CheckpointStore, "commit_partial", real_partial)
+
+    # delta-only tables landed under s2 — flipping to rebuild would
+    # resume the batch pipeline from them; the pin refuses
+    store = CheckpointStore(spark, wh)
+    assert store.is_committed("stage0_turns", "s2")
+    with pytest.raises(ValueError, match="partial 'incremental' maintenance"):
+        maintain(spark, wh, "s1", "s2", delta_t, force="rebuild")
+    # ...as is resuming over a different base (mixed histories)
+    with pytest.raises(ValueError, match="maintenance attempt over base"):
+        maintain(spark, wh, "other", "s2", delta_t)
+
+    # the honest retry (no force; toy scale means the default policy
+    # would pick rebuild — the pin must win) completes incrementally and
+    # matches the batch recompute
+    path, res = maintain(spark, wh, "s1", "s2", delta_t)
+    assert path == "incremental"
+    assert snapshot_parent(wh, "s2") == "s1"
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(res, full)
+
+
+def test_maintain_kwargs_filtered_per_path(spark, tmp_path):
+    """maintain() forwards only the kwargs the chosen pipeline accepts:
+    an incremental-only knob must not crash the day the policy (or an
+    operator) picks rebuild, and vice versa; a kwarg neither pipeline
+    accepts raises immediately (typo protection)."""
+    from information_extraction_from_biographies_spark.plans.incremental import maintain
+
+    fixture = fx.make_fixture(n_convs=12, seed=33)
+    base_t, delta_t = _split_convs(spark, fixture, 9)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+
+    with pytest.raises(TypeError, match="neither pipeline accepts"):
+        maintain(spark, wh, "s1", "sX", delta_t, no_such_knob=True)
+
+    # incremental-only kwargs survive a rebuild decision (dropped)...
+    path, _ = maintain(
+        spark, wh, "s1", "s2", delta_t,
+        force="rebuild", rescan_via_file=True, enable_cow=False,
+    )
+    assert path == "rebuild"
+    # ...and batch-only kwargs survive an incremental decision
+    path2, _ = maintain(
+        spark, wh, "s2", "s3", delta_t,
+        force="incremental", registry_via_file=True, gram_index=False, cc_salt=1,
+    )
+    assert path2 == "incremental"
+
+
+def test_torn_stats_sidecar_recovers(spark, tmp_path):
+    """A torn _stats sidecar (crash mid-write) must not poison every
+    later maintain() of that base: snapshot_conv_count recounts, heals
+    the file atomically, and leaves no tmp litter."""
+    import json as _json
+    import os as _os
+
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        snapshot_conv_count,
+    )
+
+    fixture = fx.make_fixture(n_convs=10, seed=35)
+    wh = str(tmp_path / "w")
+    p = Pipeline(spark, wh, snapshot_id="s1")
+    p.run(fx.transcripts_sdf(spark, fixture))
+
+    sp = _os.path.join(wh, "_stats", "s1.json")
+    _os.makedirs(_os.path.dirname(sp), exist_ok=True)
+    with open(sp, "w", encoding="utf-8") as f:
+        f.write('{"n_convs": 1')  # torn mid-write
+    assert snapshot_conv_count(p.store, "s1") == 10
+    with open(sp, encoding="utf-8") as f:
+        assert _json.load(f) == {"n_convs": 10}  # healed
+    assert not _os.path.exists(sp + ".tmp")
+    # a legacy/foreign sidecar missing the key recounts the same way
+    with open(sp, "w", encoding="utf-8") as f:
+        _json.dump({"rows": 3}, f)
+    assert snapshot_conv_count(p.store, "s1") == 10
+
+
+def test_compact_rebuilds_partially_indexed_chain(spark, tmp_path):
+    """compact_snapshot rebuilds the gram index when ANY chain level
+    carries it: a partially-backfilled chain (ensure_gram_index crashed
+    mid-chain, so chain_has is False) must not silently lose the index
+    the operator paid an O(history) backfill for."""
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        build_gram_index,
+        chain_has,
+        compact_snapshot,
+        full_view,
+    )
+
+    fixture = fx.make_fixture(n_convs=15, seed=37)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    ids = [r["conv_id"] for r in sdf.select("conv_id").distinct().orderBy("conv_id").collect()]
+    wh = str(tmp_path / "w")
+    p = Pipeline(spark, wh, snapshot_id="s1", gram_index=False)
+    p.run(sdf.filter(F.col("conv_id").isin(ids[:8])))
+    IncrementalPipeline(spark, wh, "s1", "s2").run(
+        sdf.filter(F.col("conv_id").isin(ids[8:11])), rescan="exact"
+    )
+    store = p.store
+
+    # partial backfill: the tip level got its index, the base did not
+    # (the mid-chain crash state of ensure_gram_index)
+    build_gram_index(
+        store,
+        "s2",
+        turns=store.read("stage0_turns", "s2"),
+        n_convs=full_view(store, "stage0_meta", "s2").count(),
+    )
+    assert not chain_has(store, "turn_grams", "s2")  # s1 still missing
+
+    done = compact_snapshot(store, "s2", "c1")
+    assert "gram_stops" in done and "turn_grams" in done
+    assert chain_has(store, "turn_grams", "c1")
+
+    # the rebuilt index is engaged and exact: an indexed delta over the
+    # compacted base matches the batch recompute over everything
+    inc = IncrementalPipeline(spark, wh, "c1", "c2").run(
+        sdf.filter(F.col("conv_id").isin(ids[11:])), rescan="indexed"
+    )
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(sdf)
+    _assert_equal_results(inc, full)

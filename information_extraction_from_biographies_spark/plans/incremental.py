@@ -128,6 +128,19 @@ def _meta_path(warehouse: str, snapshot_id: str) -> str:
     return os.path.join(warehouse, "_incremental", f"{snapshot_id}.json")
 
 
+def _any_lineage(warehouse: str, snapshot_id: str) -> bool:
+    """Does ANY table carry a committed lineage record at this snapshot
+    id? One directory scan — the lineage dir holds a small JSON per stage
+    commit (O(stages), never O(data)). Table names contain no ``-``, so
+    the ``-{id}.json`` suffix match is exact."""
+    ldir = os.path.join(warehouse, "_lineage")
+    if not os.path.isdir(ldir):
+        return False
+    want = f"{snapshot_id}.json"
+    # split on the FIRST dash (table names contain none; ids may)
+    return any("-" in n and n.split("-", 1)[1] == want for n in os.listdir(ldir))
+
+
 def _write_json_atomic(path: str, payload: dict) -> None:
     """tmp + os.replace — the same atomic commit point the store's
     lineage writes use. A torn metadata JSON is worse than a missing
@@ -500,20 +513,40 @@ def _stats_path(warehouse: str, snapshot_id: str) -> str:
     return os.path.join(warehouse, "_stats", f"{snapshot_id}.json")
 
 
+def _meta_fingerprint(store: CheckpointStore, snapshot_id: str) -> int | None:
+    """Identity of the snapshot's own stage0_meta commit (lineage-file
+    mtime_ns). Ancestors of a live chain are immutable (expiry-protected
+    via ``_chain_protected``), so the tip commit's identity fingerprints
+    the whole chain's content — it changes exactly when the id is reused
+    for a different build after expiry."""
+    try:
+        return os.stat(store._lineage_path("stage0_meta", snapshot_id)).st_mtime_ns
+    except OSError:
+        return None
+
+
 def snapshot_conv_count(store: CheckpointStore, snapshot_id: str) -> int:
     """Conversation count of a snapshot (chain-resolved), cached in a
     ``_stats`` sidecar so repeat policy decisions are free. The first
     call on an uncached snapshot pays ONE count over the conv-scale meta
-    view (one row per conversation — never the turns table)."""
+    view (one row per conversation — never the turns table). The cache is
+    keyed by the snapshot's commit fingerprint: sidecars outlive
+    ``expire_snapshots``, so a snapshot id REUSED for a different build
+    would otherwise serve the old content's count and silently skew the
+    maintenance policy."""
     p = _stats_path(store.warehouse, snapshot_id)
+    fp = _meta_fingerprint(store, snapshot_id)
     if os.path.exists(p):
         try:
             with open(p, encoding="utf-8") as f:
-                return json.load(f)["n_convs"]
+                rec = json.load(f)
+            if rec.get("fp") == fp:
+                return rec["n_convs"]
+            # stale (id reused after expiry) or legacy sidecar — recount
         except (ValueError, KeyError):
-            pass  # torn/legacy sidecar — recount and rewrite below
+            pass  # torn sidecar — recount and rewrite below
     n = full_view(store, "stage0_meta", snapshot_id).count()
-    _write_json_atomic(p, {"n_convs": n})
+    _write_json_atomic(p, {"n_convs": n, "fp": fp})
     return n
 
 
@@ -624,6 +657,12 @@ def maintain(
     if os.path.exists(marker_p):
         with open(marker_p, encoding="utf-8") as f:
             prior = json.load(f)
+    if prior is not None and not _any_lineage(warehouse, snapshot_id):
+        # stale pin: the prior attempt committed no table under this id
+        # (crash before the first commit, or its tables were fully
+        # expired for id reuse) — there is nothing to mix, so the pin
+        # only encodes a dead decision. Re-decide and overwrite it.
+        prior = None
     if prior is not None:
         if prior.get("base") != base_snapshot:
             raise ValueError(

@@ -795,12 +795,83 @@ def test_torn_stats_sidecar_recovers(spark, tmp_path):
         f.write('{"n_convs": 1')  # torn mid-write
     assert snapshot_conv_count(p.store, "s1") == 10
     with open(sp, encoding="utf-8") as f:
-        assert _json.load(f) == {"n_convs": 10}  # healed
+        assert _json.load(f)["n_convs"] == 10  # healed
     assert not _os.path.exists(sp + ".tmp")
     # a legacy/foreign sidecar missing the key recounts the same way
     with open(sp, "w", encoding="utf-8") as f:
         _json.dump({"rows": 3}, f)
     assert snapshot_conv_count(p.store, "s1") == 10
+
+
+def test_conv_count_cache_invalidated_on_id_reuse(spark, tmp_path):
+    """The _stats sidecar outlives expire_snapshots, so a snapshot id
+    reused for a DIFFERENT build must not serve the old content's count
+    to the maintenance policy — the cache is keyed by the snapshot's
+    commit fingerprint (stage0_meta lineage mtime) and recounts when it
+    changes."""
+    import json as _json
+    import os as _os
+
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        snapshot_conv_count,
+    )
+
+    fixture = fx.make_fixture(n_convs=10, seed=39)
+    wh = str(tmp_path / "w")
+    p = Pipeline(spark, wh, snapshot_id="s1")
+    p.run(fx.transcripts_sdf(spark, fixture))
+    assert snapshot_conv_count(p.store, "s1") == 10
+
+    # a fingerprint-matching cache IS served (no recount)...
+    sp = _os.path.join(wh, "_stats", "s1.json")
+    with open(sp, encoding="utf-8") as f:
+        rec = _json.load(f)
+    with open(sp, "w", encoding="utf-8") as f:
+        _json.dump({"n_convs": 999, "fp": rec["fp"]}, f)
+    assert snapshot_conv_count(p.store, "s1") == 999
+    # ...until the snapshot's meta commit changes (id reuse after
+    # expiry): bump the lineage mtime to stand in for the recommit
+    lp = p.store._lineage_path("stage0_meta", "s1")
+    _os.utime(lp, ns=(_os.stat(lp).st_atime_ns, _os.stat(lp).st_mtime_ns + 10**6))
+    assert snapshot_conv_count(p.store, "s1") == 10  # recounted + healed
+    with open(sp, encoding="utf-8") as f:
+        assert _json.load(f)["n_convs"] == 10
+
+
+def test_maintain_stale_pin_recomputed(spark, tmp_path):
+    """A _maintain pin with NO committed table under its snapshot id is
+    dead (crash before the first commit, or tables fully expired for id
+    reuse): nothing can mix, so maintain() re-decides instead of
+    refusing forever on the stale base/path."""
+    import json as _json
+    import os as _os
+
+    from information_extraction_from_biographies_spark.plans.incremental import (
+        maintain,
+        snapshot_parent,
+    )
+
+    fixture = fx.make_fixture(n_convs=12, seed=41)
+    base_t, delta_t = _split_convs(spark, fixture, 9)
+    wh = str(tmp_path / "w")
+    Pipeline(spark, wh, snapshot_id="s1").run(base_t)
+
+    # a pin from an attempt that never committed anything, over a base
+    # that no longer exists
+    mp = _os.path.join(wh, "_maintain", "s2.json")
+    _os.makedirs(_os.path.dirname(mp), exist_ok=True)
+    with open(mp, "w", encoding="utf-8") as f:
+        _json.dump({"path": "incremental", "base": "gone"}, f)
+
+    path, res = maintain(spark, wh, "s1", "s2", delta_t, force="rebuild")
+    assert path == "rebuild"
+    assert snapshot_parent(wh, "s2") is None
+    with open(mp, encoding="utf-8") as f:
+        assert _json.load(f) == {"path": "rebuild", "base": "s1"}  # re-pinned
+    full = Pipeline(spark, str(tmp_path / "full"), snapshot_id="f1").run(
+        fx.transcripts_sdf(spark, fixture)
+    )
+    _assert_equal_results(res, full)
 
 
 def test_compact_rebuilds_partially_indexed_chain(spark, tmp_path):

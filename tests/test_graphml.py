@@ -307,3 +307,20 @@ def test_degree_over_reference_graph(spark):
     sym = e.union(e.select(F.col("dst"), F.col("src"))).distinct()
     assert total == sym.count()
     assert deg.count() == sym.select("src").distinct().count()
+
+
+def test_write_graphml_empty_graph(spark, tmp_path):
+    """Zero-row nodes/edges (the text writes emit no part files) still
+    produce a valid, loadable GraphML — the stream-merge must tolerate
+    part-less fragment directories, not crash or emit a torn file."""
+    from information_extraction_from_biographies_spark.operators.graph import (
+        load_graphml,
+        write_graphml,
+    )
+
+    nodes = spark.createDataFrame([], "name string, attrs map<string,string>")
+    edges = spark.createDataFrame([], "subj string, pred string, obj string")
+    p = str(tmp_path / "empty.graphml")
+    write_graphml(nodes, edges, p)
+    n, e = load_graphml(spark, p)
+    assert n.count() == 0 and e.count() == 0

@@ -90,12 +90,24 @@ class IncrementalIngest:
         prefix: str = "b",
         rescan: str = "none",
         user_dict=None,
+        lexicons=None,
+        max_conv_turns: int | None = None,
     ) -> None:
+        """``lexicons``: the gazetteers.Lexicons the BASE snapshot was
+        built with — IncrementalPipeline requires the delta's lexicons to
+        match the base's (plans/incremental.py), so an ingest over a
+        custom-gazetteer base must thread them here or every micro-batch
+        silently extracts under the default vocabulary. ``max_conv_turns``:
+        the per-conversation turn cap (plans/pipeline.py) applied to each
+        micro-batch — the stream-side guard against an adversarially long
+        conversation OOMing the per-conv kernels."""
         self.warehouse = warehouse
         self.base = base_snapshot
         self.prefix = prefix
         self.rescan = rescan
         self.user_dict = user_dict
+        self.lexicons = lexicons
+        self.max_conv_turns = max_conv_turns
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -115,6 +127,8 @@ class IncrementalIngest:
             base_snapshot=parent,
             snapshot_id=sid,
             user_dict=self.user_dict,
+            lexicons=self.lexicons,
+            max_conv_turns=self.max_conv_turns,
         ).run(batch_df, rescan=self.rescan)
 
 
@@ -127,14 +141,23 @@ def ingest_stream(
     rescan: str = "none",
     available_now: bool = True,
     user_dict=None,
+    lexicons=None,
+    max_conv_turns: int | None = None,
 ):
     """Wire a transcript stream into the incremental pipeline. Returns the
     StreamingQuery; with ``available_now`` the query drains the source
     then stops (the batch-replay-friendly trigger for tests and catch-up
-    runs)."""
+    runs). ``lexicons``/``max_conv_turns`` thread through to each batch's
+    IncrementalPipeline (see IncrementalIngest)."""
     writer = stream.writeStream.foreachBatch(
         IncrementalIngest(
-            warehouse, base_snapshot, prefix=prefix, rescan=rescan, user_dict=user_dict
+            warehouse,
+            base_snapshot,
+            prefix=prefix,
+            rescan=rescan,
+            user_dict=user_dict,
+            lexicons=lexicons,
+            max_conv_turns=max_conv_turns,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

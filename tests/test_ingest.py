@@ -210,3 +210,50 @@ def test_compaction_can_establish_bucketed_layout(spark, tmp_path):
     assert lin["bucketing"]["num_buckets"] == 4
     assert "bucketing" not in store.lineage("stage2_triples", "c_b")
     assert _rows(store.read("stage0_turns", "c_b")) == want
+
+
+def test_ingest_threads_lexicons_and_turn_cap(spark, tmp_path):
+    """IncrementalIngest forwards ``lexicons`` and ``max_conv_turns`` to
+    each batch's IncrementalPipeline. Before the fix the ingest path had
+    no way to pass either: a stream over a custom-gazetteer base silently
+    extracted every micro-batch under the DEFAULT vocabulary (the exact
+    vocabulary-mixing hazard plans/incremental.py warns about), and no
+    turn cap could guard the per-conversation kernels."""
+    import datetime
+
+    from information_extraction_from_biographies_spark import gazetteers as gz
+
+    place = "㐀㐁"  # CJK Ext-A — absent from the built-in place list
+    assert place not in gz.DEFAULT_LEXICONS.places
+    custom = gz.Lexicons.build(gz.SURNAMES, set(gz.PLACE_NAMES) | {place})
+
+    fixture = fx.make_fixture(n_convs=4, seed=13)
+    sdf = fx.transcripts_sdf(spark, fixture)
+    wh = str(tmp_path / "wh")
+    Pipeline(spark, wh, snapshot_id="v1", lexicons=custom).run(sdf)
+
+    ts = datetime.datetime(2024, 1, 1)
+    turn0 = f"陳泗一（Tan Test，1900.01.01-1980.01.01）（吳大安撰），{place}人，字伯禹。"
+    delta = spark.createDataFrame(
+        [("cx", i, "user", t, None, ts) for i, t in enumerate(
+            [turn0, "大正1年（1912），任職臺北書局。", "與吳泗平合作發表論文。",
+             "民國30年（1941），當選會長。", "晚年定居台南。"]
+        )],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+    ingest = IncrementalIngest(wh, "v1", lexicons=custom, max_conv_turns=3)
+    ingest(delta, 0)
+    store = CheckpointStore(spark, wh)
+
+    born = [
+        (r.subj, r.obj)
+        for r in full_view(store, "stage2_triples", "b0")
+        .filter((F.col("source") == "born-in") & (F.col("conv_id") == "cx"))
+        .collect()
+    ]
+    assert ("陳泗一", place) in {(s, o) for s, o in born}
+
+    cap_turns = store.read("stage0_turns", "b0").agg(F.max("turn_idx")).collect()[0][0]
+    assert cap_turns == 2  # turns 3,4 cut by max_conv_turns=3
+    assert store.lineage("stage0_turns", "b0")["metrics"]["capped_convs"] == 1

@@ -87,8 +87,13 @@ def incremental_minhash_dedup(
     base_members = base_buckets.join(
         F.broadcast(touched), ["band", "bucket"], "leftsemi"
     )
+    # distinct before capping: a RE-DELIVERED doc (already in the store
+    # and in this batch — crash-replay of an ingest batch) would occupy
+    # two row_number slots in its bucket and evict the cap-th legitimate
+    # member that batch capping over the union would keep. The distinct
+    # is delta-bounded (both sides are touched-bucket slices).
     members = _cap_bucket(
-        base_members.unionByName(new_banded), ["band", "bucket"], cap
+        base_members.unionByName(new_banded).distinct(), ["band", "bucket"], cap
     )
 
     # star edges over the touched buckets' FULL (capped) membership —
@@ -131,7 +136,14 @@ def incremental_minhash_dedup(
         F.col("component").cast("long").alias("cluster"),
         (F.col("vertex") == F.col("component")).alias("is_keeper"),
     )
-    buckets_delta = members.join(
-        F.broadcast(new_profiles.select("doc_id")), "doc_id", "leftsemi"
-    ).select("band", "bucket", "doc_id")
+    # rows already present in the store (re-delivered docs) are excluded
+    # from the delta — appending them again would duplicate store rows
+    # and shrink every later batch's effective cap in those buckets
+    buckets_delta = (
+        members.join(
+            F.broadcast(new_profiles.select("doc_id")), "doc_id", "leftsemi"
+        )
+        .join(base_members, ["band", "bucket", "doc_id"], "left_anti")
+        .select("band", "bucket", "doc_id")
+    )
     return labels, buckets_delta

@@ -128,3 +128,41 @@ def test_bucket_lookup_streams_history(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_redelivered_batch_is_idempotent_and_cap_safe(spark):
+    """Crash-replay of an ingest batch re-delivers documents already in
+    the bucket store. Pre-fix, the duplicate (band, bucket, doc_id) rows
+    (a) were appended to the store again via buckets_delta, and (b) each
+    occupied an extra row_number slot under the bucket cap, evicting the
+    cap-th legitimate member that batch capping over the union keeps."""
+    x, suffixes = _block(77), ["[a]", "[b]", "[c]", "[d]"]
+    fam = spark.createDataFrame(
+        [(i, x + s) for i, s in enumerate(suffixes)], "doc_id long, text string"
+    )
+    profs = minhash_profiles(fam).persist()
+    p01 = profs.filter("doc_id < 2").persist()
+    p023 = profs.filter("doc_id != 1")  # re-delivers doc 0 with new 2, 3
+
+    b0, pr0 = _empty_state(spark)
+    labels0, buckets0 = incremental_minhash_dedup(p01, b0, pr0, None, bands=BANDS)
+    buckets0 = buckets0.persist()
+
+    # cap = family size: the re-delivered doc 0's duplicate row must not
+    # consume the slot doc 3 needs
+    labels1, buckets1 = incremental_minhash_dedup(
+        p023, buckets0, p01, labels0, bands=BANDS, cap=len(suffixes)
+    )
+    assert _labels_dict(labels1) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    # the delta appends only rows NOT already in the store; replaying the
+    # identical batch against the updated store appends nothing
+    assert buckets1.join(buckets0, ["band", "bucket", "doc_id"], "inner").count() == 0
+    store1 = buckets0.unionByName(buckets1).persist()
+    labels2, buckets2 = incremental_minhash_dedup(
+        p023, store1, profs, labels1, bands=BANDS, cap=len(suffixes)
+    )
+    assert buckets2.count() == 0
+    assert _labels_dict(labels2) == _labels_dict(labels1)
+    for df in (profs, p01, buckets0, store1):
+        df.unpersist()

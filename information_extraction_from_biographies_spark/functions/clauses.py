@@ -29,19 +29,28 @@ _LINE_SPLIT_RE = re.compile("，|。")
 _PAREN_RE = re.compile("（(.*?)）")
 
 
-def split_clauses_with_positions(text: str) -> list[tuple[str, int]]:
-    """[(clause, position)] per Cooccurrence.py:35-53; position starts at 1
-    and advances by the increment of the delimiter that *closed* the clause.
-    The trailing remainder is dropped (see module docstring)."""
+def split_clauses_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """[(clause, position, char_start)] — ``split_clauses_with_positions``
+    plus each clause's char offset into ``text`` (clauses are verbatim
+    non-overlapping substrings: ``text[char_start:char_start+len(clause)]
+    == clause``). The offset lets one full-text automaton pass serve the
+    per-clause scan exactly (matcher.scan_text_clauses)."""
     out = []
     pos = 1
     last_end = 0
     for m in _CLAUSE_RE.finditer(text):
         delim = m.group(1)
-        out.append((text[last_end : m.start(1)], pos))
+        out.append((text[last_end : m.start(1)], pos, last_end))
         pos += INCREMENTS[DELIMITERS.index(delim)]
         last_end = m.end(1)
     return out
+
+
+def split_clauses_with_positions(text: str) -> list[tuple[str, int]]:
+    """[(clause, position)] per Cooccurrence.py:35-53; position starts at 1
+    and advances by the increment of the delimiter that *closed* the clause.
+    The trailing remainder is dropped (see module docstring)."""
+    return [(c, p) for c, p, _ in split_clauses_with_offsets(text)]
 
 
 def relation_lines(text: str, name: str) -> list[str]:

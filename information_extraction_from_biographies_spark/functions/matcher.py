@@ -28,6 +28,7 @@ class AhoCorasick:
         for pat in patterns:
             self._insert(pat)
         self._build_links()
+        self._pat_len = [len(p) for p in self.patterns]
 
     def _insert(self, pat: str) -> None:
         if not pat:
@@ -64,31 +65,62 @@ class AhoCorasick:
                 self._out[nxt] = self._out[nxt] + self._out[self._fail[nxt]]
 
     def finditer(self, text: str):
-        """Yield (start, pattern_index) for every occurrence."""
+        """Yield (start, pattern_index) for every occurrence.
+
+        Hot loop: locals-bound tables and a state-0 fast path (most chars
+        of a conversation match no surface prefix, so the walk spends
+        nearly all its time at the root — one bound ``dict.get`` per char
+        instead of a list index + membership probe + attribute lookups)."""
+        goto, fail, out = self._goto, self._fail, self._out
+        root_get = goto[0].get
+        pat_len = self._pat_len
         state = 0
         for i, ch in enumerate(text):
-            while state and ch not in self._goto[state]:
-                state = self._fail[state]
-            state = self._goto[state].get(ch, 0)
-            if self._out[state]:
-                for pat_idx in self._out[state]:
-                    yield i - len(self.patterns[pat_idx]) + 1, pat_idx
+            if state:
+                while state and ch not in goto[state]:
+                    state = fail[state]
+                state = goto[state].get(ch, 0) if state else root_get(ch, 0)
+            else:
+                state = root_get(ch, 0)
+            if out[state]:
+                for pat_idx in out[state]:
+                    yield i - pat_len[pat_idx] + 1, pat_idx
 
     def contained(self, text: str) -> set[int]:
         """Distinct pattern indices occurring in ``text`` — the containment
-        semantics of the reference's ``text.find(x) != -1`` probe."""
-        return {pat_idx for _, pat_idx in self.finditer(text)}
+        semantics of the reference's ``text.find(x) != -1`` probe.
+        Loop inlined (no generator frame per hit): same tables as
+        ``finditer``, accumulating into the set directly."""
+        goto, fail, out = self._goto, self._fail, self._out
+        root_get = goto[0].get
+        found: set[int] = set()
+        state = 0
+        for ch in text:
+            if state:
+                while state and ch not in goto[state]:
+                    state = fail[state]
+                state = goto[state].get(ch, 0) if state else root_get(ch, 0)
+            else:
+                state = root_get(ch, 0)
+            if out[state]:
+                found.update(out[state])
+        return found
 
     def contains_any(self, text: str) -> bool:
         """True iff ANY pattern occurs — short-circuits on the first hit
         (``contained`` walks the whole text; the rescan probe only needs
         a boolean per conversation)."""
+        goto, fail, out = self._goto, self._fail, self._out
+        root_get = goto[0].get
         state = 0
         for ch in text:
-            while state and ch not in self._goto[state]:
-                state = self._fail[state]
-            state = self._goto[state].get(ch, 0)
-            if self._out[state]:
+            if state:
+                while state and ch not in goto[state]:
+                    state = fail[state]
+                state = goto[state].get(ch, 0) if state else root_get(ch, 0)
+            else:
+                state = root_get(ch, 0)
+            if out[state]:
                 return True
         return False
 
@@ -121,6 +153,10 @@ class SurfaceIndex:
         # persons_in_clauses joins clauses on NUL; a surface containing it
         # (never true for extracted text) forces the per-clause fallback
         self._has_nul = any("\x00" in s for s in self._surfaces)
+        # payload order is fixed after build — sort once, not per probe
+        self._payloads_sorted: list[list[tuple[str, str]]] = [
+            sorted(p) for p in self._payloads
+        ]
 
     def persons_in(self, text: str) -> list[tuple[str, str, str]]:
         """All (person, surface, kind) with surface contained in text,
@@ -129,9 +165,67 @@ class SurfaceIndex:
         out = []
         for idx in hits:
             surface = self._surfaces[idx]
-            for person, kind in sorted(self._payloads[idx]):
+            for person, kind in self._payloads_sorted[idx]:
                 out.append((person, surface, kind))
         return out
+
+    def scan_text_clauses(
+        self, text: str, spans: list[tuple[int, int]]
+    ) -> tuple[list[str], list[list[tuple[str, str, str]]]]:
+        """``(distinct_persons_in(text), [persons_in(text[s:e]) for s, e
+        in spans])`` in ONE automaton pass over ``text``.
+
+        The stage-2 kernel needs both the full-conversation detection set
+        and the per-clause occurrence sets; run separately that is two
+        full automaton walks (detection over ``text``, then
+        persons_in_clauses over a NUL-joined copy of nearly the same
+        characters). Because clauses are verbatim non-overlapping ordered
+        substrings of ``text`` (clauses.split_clauses_with_offsets), one
+        full-text walk serves both exactly:
+
+        - a match is contained in clause ``j`` iff its full-text start
+          falls at/after the clause start and it ends within the clause
+          — bucketing every hit by ``bisect(starts)`` + an end-bound
+          check reproduces the isolated per-clause scan bijectively
+          (matches that straddle a delimiter or land in the dropped
+          trailing remainder fail the bound check, exactly as they are
+          invisible to the isolated scan);
+        - the distinct hit set of the same walk IS ``contained(text)``.
+
+        Result order parity: detection replays distinct_persons_in's
+        first-seen-person order over sorted pattern indices; per-clause
+        rows replay persons_in's (surface-insertion, then payload) order.
+        ``spans`` must be sorted, non-overlapping (start, end) offsets."""
+        full: set[int] = set()
+        per: list[set[int]] = [set() for _ in spans]
+        if spans:
+            from bisect import bisect_right
+
+            starts = [s for s, _ in spans]
+            pat_len = self._ac._pat_len
+            for start, pat_idx in self._ac.finditer(text):
+                full.add(pat_idx)
+                j = bisect_right(starts, start) - 1
+                if j >= 0 and start + pat_len[pat_idx] <= spans[j][1]:
+                    per[j].add(pat_idx)
+        else:
+            full = self._ac.contained(text)
+        seen: set[str] = set()
+        detected: list[str] = []
+        for idx in sorted(full):
+            for person, _kind in self._payloads_sorted[idx]:
+                if person not in seen:
+                    seen.add(person)
+                    detected.append(person)
+        out: list[list[tuple[str, str, str]]] = []
+        for ids in per:
+            rows = []
+            for idx in sorted(ids):
+                surface = self._surfaces[idx]
+                for person, kind in self._payloads_sorted[idx]:
+                    rows.append((person, surface, kind))
+            out.append(rows)
+        return detected, out
 
     def persons_in_clauses(self, clauses: list[str]) -> list[list[tuple[str, str, str]]]:
         """``[persons_in(c) for c in clauses]`` in ONE automaton pass over
@@ -161,7 +255,7 @@ class SurfaceIndex:
             rows = []
             for idx in sorted(ids):
                 surface = self._surfaces[idx]
-                for person, kind in sorted(self._payloads[idx]):
+                for person, kind in self._payloads_sorted[idx]:
                     rows.append((person, surface, kind))
             out.append(rows)
         return out

@@ -26,25 +26,44 @@ _SENTINEL = "there has no relationships"
 _KIN_PRED_RE = re.compile("|".join(re.escape(k) for k in KINSHIP_CHARS))
 
 
+def _static_lex_buckets() -> dict[str, list[tuple[str, str]]]:
+    """First-char buckets over the CONSTANT verb/noun lexicons, sorted
+    longest-first (verbs before nouns on same-length ties — insertion
+    order under the stable sort). Built once at import; per-conversation
+    ``build_lex_index`` only merges the conversation's surfaces in, so
+    untouched buckets are shared read-only across every conversation
+    (``_segment`` never mutates a bucket)."""
+    index: dict[str, list[tuple[str, str]]] = {}
+    for v in VERB_LEXICON:
+        index.setdefault(v[0], []).append((v, "VV"))
+    for n in NOUN_LEXICON:
+        index.setdefault(n[0], []).append((n, "NN"))
+    for bucket in index.values():
+        bucket.sort(key=lambda t: -len(t[0]))
+    return index
+
+
+_STATIC_LEX_INDEX = _static_lex_buckets()
+
+
 def build_lex_index(surfaces: list[str]) -> dict[str, list[tuple[str, str]]]:
     """First-char-bucketed longest-first lexicon over surfaces + verb/noun
     lexicons — built ONCE per conversation; segmentation then probes only
     the bucket of the current char instead of the whole lexicon (the
-    original whole-list scan was the stage-2 hot spot)."""
-    lex: list[tuple[str, str]] = []
+    original whole-list scan was the stage-2 hot spot). The constant
+    verb/noun part comes pre-bucketed and pre-sorted from import time;
+    only buckets a surface lands in are copied and re-sorted (stable:
+    same-length ties keep surface-before-verb-before-noun order, as the
+    flat-list build did)."""
+    index = dict(_STATIC_LEX_INDEX)
+    surf_buckets: dict[str, list[tuple[str, str]]] = {}
     for s in surfaces:
         if s:
-            lex.append((s, "NR"))
-    for v in VERB_LEXICON:
-        lex.append((v, "VV"))
-    for n in NOUN_LEXICON:
-        lex.append((n, "NN"))
-    index: dict[str, list[tuple[str, str]]] = {}
-    for word, pos in lex:
-        index.setdefault(word[0], []).append((word, pos))
-    for bucket in index.values():
-        # stable: same-length ties keep surface-before-verb-before-noun order
-        bucket.sort(key=lambda t: -len(t[0]))
+            surf_buckets.setdefault(s[0], []).append((s, "NR"))
+    for ch, surf in surf_buckets.items():
+        merged = surf + index.get(ch, [])
+        merged.sort(key=lambda t: -len(t[0]))
+        index[ch] = merged
     return index
 
 
@@ -226,8 +245,12 @@ def extract_relations_for_conv(
             if dep is None:
                 dep = dep_cache[line] = build_dep_dict(line, lex_index)
             result = relation_cascade(dep, biographee, surface)
-            # one extend for both types: a list extends element-wise, the
-            # sentinel STRING extends char-wise — the reference's
-            # relations.extend(<str>) quirk, preserved deliberately
-            raw.extend(result)
+            # the reference extends the sentinel STRING char-wise
+            # (relations.extend(<str>) quirk); every such single-char
+            # entry fails filter_relations' 3-token shape check, so
+            # skipping the extend here is output-identical and removes
+            # ~25 chars/miss from the hot filter loop (the quirk itself
+            # stays observable at relation_cascade level, parity-pinned)
+            if result is not _SENTINEL:
+                raw.extend(result)
     return filter_relations(raw)

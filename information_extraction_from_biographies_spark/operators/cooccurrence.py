@@ -152,16 +152,42 @@ def conv_pair_scores(
                 key = (min(p, biographee), max(p, biographee))
                 prior.setdefault(key, []).append(float(DISTANCE_TO_BIOGRAPHEE))
 
-    arrays = {p: np.asarray(positions_by_person[p], dtype=np.int64) for p in persons}
+    # numpy only above the crossover: the typical conversation yields
+    # 2-5 occurrence positions per person, where five numpy calls per
+    # pair cost more than the whole cross product in a list comp; the
+    # vectorized path exists for the skewed giant conversation
+    _NP_CROSSOVER = 256
+    arrays = {
+        p: np.asarray(v, dtype=np.int64)
+        for p, v in positions_by_person.items()
+        if len(v) * len(v) > _NP_CROSSOVER
+    }
     pair_dists: dict[tuple[str, str], list[float]] = dict(prior)
     for i, p1 in enumerate(persons):
-        a = arrays[p1]
+        pa = positions_by_person[p1]
         for p2 in persons[i + 1 :]:
-            b = arrays[p2]
+            pb = positions_by_person[p2]
+            key = (p1, p2) if p1 < p2 else (p2, p1)
+            if len(pa) * len(pb) <= _NP_CROSSOVER:
+                d_list = [
+                    float(x - y + 1) if x >= y else float(y - x + 1)
+                    for x in pa
+                    for y in pb
+                ]
+                if len(d_list) > _TOP_K_DISTANCES:
+                    d_list.sort()
+                    d_list = d_list[:_TOP_K_DISTANCES]
+                pair_dists.setdefault(key, []).extend(d_list)
+                continue
+            a = arrays.get(p1)
+            if a is None:
+                a = arrays[p1] = np.asarray(pa, dtype=np.int64)
+            b = arrays.get(p2)
+            if b is None:
+                b = arrays[p2] = np.asarray(pb, dtype=np.int64)
             d = (np.abs(a[:, None] - b[None, :]) + 1).ravel()
             if d.size > _TOP_K_DISTANCES:
                 d = np.partition(d, _TOP_K_DISTANCES)[:_TOP_K_DISTANCES]
-            key = (p1, p2) if p1 < p2 else (p2, p1)
             pair_dists.setdefault(key, []).extend(d.tolist())
     for (n1, n2), ds in pair_dists.items():
         out.append((n1, n2, fold_scores(ds)))

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..functions.clauses import split_clauses_with_positions
+from ..functions.clauses import split_clauses_with_offsets
 from ..functions.grouped import grouped_map, ordered_group
 from ..functions.matcher import SurfaceIndexHandle
 
@@ -78,12 +78,15 @@ def scan_mentions(turns: DataFrame, index) -> DataFrame:
         ordered = ordered_group(pdf)
         text = "\n\n".join(str(t) for t in ordered["norm_text"] if t is not None)
         rows = []
-        for person in idx.distinct_persons_in(text):
+        # one automaton pass serves detection + per-clause occurrences
+        # (see SurfaceIndex.scan_text_clauses)
+        clause_off = split_clauses_with_offsets(text)
+        detected, clause_matches = idx.scan_text_clauses(
+            text, [(s, s + len(c)) for c, _pos, s in clause_off]
+        )
+        for person in detected:
             rows.append((conv_id, "person", -1, person, None))
-        clause_pos = split_clauses_with_positions(text)
-        for (_clause, pos), matches in zip(
-            clause_pos, idx.persons_in_clauses([c for c, _ in clause_pos])
-        ):
+        for (_clause, pos, _s), matches in zip(clause_off, clause_matches):
             for person, surface, _k in matches:
                 rows.append((conv_id, "occ", pos, person, surface))
         return pd.DataFrame(rows, columns=["conv_id", "kind", "pos", "person", "surface"])

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..functions.clauses import split_clauses_with_positions
+from ..functions.clauses import split_clauses_with_offsets
 from ..functions.extraction import extract_hometown
 from .cooccurrence import conv_pair_scores
 from ..functions.grouped import grouped_map, ordered_group
@@ -73,14 +73,17 @@ def fused_scan_extract(
         biographee = bio_vals[0] if bio_vals else None
 
         rows: list[tuple] = []
-        detected = idx.distinct_persons_in(text)
+        # detection + per-clause occurrences in ONE automaton pass over
+        # the conversation text (clause char offsets make the full-text
+        # walk serve the isolated per-clause semantics exactly)
+        clause_off = split_clauses_with_offsets(text)
+        detected, clause_matches = idx.scan_text_clauses(
+            text, [(s, s + len(c)) for c, _pos, s in clause_off]
+        )
         for person in detected:
             rows.append((conv_id, "person", -1, person, None, None, None, None, None, None))
         positions_by_person: dict[str, list[int]] = {}
-        clause_pos = split_clauses_with_positions(text)
-        for (_clause, pos), matches in zip(
-            clause_pos, idx.persons_in_clauses([c for c, _ in clause_pos])
-        ):
+        for (_clause, pos, _s), matches in zip(clause_off, clause_matches):
             for person, surface, _k in matches:
                 rows.append((conv_id, "occ", pos, person, surface, None, None, None, None, None))
                 positions_by_person.setdefault(person, []).append(pos)

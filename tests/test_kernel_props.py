@@ -92,6 +92,31 @@ def test_persons_in_clauses_equals_per_clause_scan(rows, clauses):
     assert idx.persons_in_clauses(clauses) == [idx.persons_in(c) for c in clauses]
 
 
+@settings(max_examples=300, deadline=None)
+@given(REGISTRY, TEXT)
+def test_scan_text_clauses_equals_two_pass(rows, text):
+    """The fused one-pass scan (detection + per-clause occurrences off a
+    single full-text automaton walk, bucketed by clause char offsets)
+    must be indistinguishable — order included — from the two-pass
+    reference: distinct_persons_in(text) + persons_in on each isolated
+    clause substring. Covers matches that straddle delimiters (in the
+    detection set, absent per-clause) and the dropped trailing remainder
+    (detection-only territory)."""
+    from information_extraction_from_biographies_spark.functions.clauses import (
+        split_clauses_with_offsets,
+    )
+
+    idx = SurfaceIndex(rows)
+    clause_off = split_clauses_with_offsets(text)
+    for c, _pos, s in clause_off:  # offsets contract: verbatim substrings
+        assert text[s : s + len(c)] == c
+    detected, per = idx.scan_text_clauses(
+        text, [(s, s + len(c)) for c, _pos, s in clause_off]
+    )
+    assert detected == idx.distinct_persons_in(text)
+    assert per == [idx.persons_in(c) for c, _pos, _s in clause_off]
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(TEXT, min_size=1, max_size=4))
 def test_persons_in_clauses_nul_surface_fallback(clauses):

@@ -153,21 +153,31 @@ class SurfaceIndex:
         # persons_in_clauses joins clauses on NUL; a surface containing it
         # (never true for extracted text) forces the per-clause fallback
         self._has_nul = any("\x00" in s for s in self._surfaces)
-        # payload order is fixed after build — sort once, not per probe
-        self._payloads_sorted: list[list[tuple[str, str]]] = [
-            sorted(p) for p in self._payloads
-        ]
+        # payload order is fixed after build — sort once IN PLACE, not per
+        # probe (a parallel sorted copy would double payload memory in
+        # every worker-cached index; the only other reader,
+        # person_surfaces, is order-insensitive)
+        for p in self._payloads:
+            p.sort()
+
+    def _rows_for(self, ids) -> list[tuple[str, str, str]]:
+        """(person, surface, kind) rows for a pattern-index set, in the
+        parity-pinned order: ascending pattern index (= surface first-seen
+        order), then sorted payloads. THE one copy of the ordering
+        contract — persons_in / persons_in_clauses / scan_text_clauses all
+        assemble through it, so the fused and unfused paths cannot
+        drift."""
+        rows = []
+        for idx in sorted(ids):
+            surface = self._surfaces[idx]
+            for person, kind in self._payloads[idx]:
+                rows.append((person, surface, kind))
+        return rows
 
     def persons_in(self, text: str) -> list[tuple[str, str, str]]:
         """All (person, surface, kind) with surface contained in text,
         deterministic order (by surface then person)."""
-        hits = sorted(self._ac.contained(text))
-        out = []
-        for idx in hits:
-            surface = self._surfaces[idx]
-            for person, kind in self._payloads_sorted[idx]:
-                out.append((person, surface, kind))
-        return out
+        return self._rows_for(self._ac.contained(text))
 
     def scan_text_clauses(
         self, text: str, spans: list[tuple[int, int]]
@@ -210,22 +220,19 @@ class SurfaceIndex:
                     per[j].add(pat_idx)
         else:
             full = self._ac.contained(text)
+        return self._distinct_from(full), [self._rows_for(ids) for ids in per]
+
+    def _distinct_from(self, pattern_ids) -> list[str]:
+        """distinct_persons_in's first-seen-person order replayed from a
+        pattern-index set — the one copy of the repeatOK=False dedup
+        (Utilities.py:60-65), shared by the fused and unfused paths."""
         seen: set[str] = set()
-        detected: list[str] = []
-        for idx in sorted(full):
-            for person, _kind in self._payloads_sorted[idx]:
-                if person not in seen:
-                    seen.add(person)
-                    detected.append(person)
-        out: list[list[tuple[str, str, str]]] = []
-        for ids in per:
-            rows = []
-            for idx in sorted(ids):
-                surface = self._surfaces[idx]
-                for person, kind in self._payloads_sorted[idx]:
-                    rows.append((person, surface, kind))
-            out.append(rows)
-        return detected, out
+        out: list[str] = []
+        for person, _, _ in self._rows_for(pattern_ids):
+            if person not in seen:
+                seen.add(person)
+                out.append(person)
+        return out
 
     def persons_in_clauses(self, clauses: list[str]) -> list[list[tuple[str, str, str]]]:
         """``[persons_in(c) for c in clauses]`` in ONE automaton pass over
@@ -250,26 +257,12 @@ class SurfaceIndex:
         hits: list[set[int]] = [set() for _ in clauses]
         for start, pat_idx in self._ac.finditer("\x00".join(clauses)):
             hits[bisect_right(starts, start) - 1].add(pat_idx)
-        out = []
-        for ids in hits:
-            rows = []
-            for idx in sorted(ids):
-                surface = self._surfaces[idx]
-                for person, kind in self._payloads_sorted[idx]:
-                    rows.append((person, surface, kind))
-            out.append(rows)
-        return out
+        return [self._rows_for(ids) for ids in hits]
 
     def distinct_persons_in(self, text: str) -> list[str]:
         """repeatOK=False semantics: each person at most once
         (Utilities.py:60-65 first-hit short circuit)."""
-        seen: set[str] = set()
-        out = []
-        for person, _, _ in self.persons_in(text):
-            if person not in seen:
-                seen.add(person)
-                out.append(person)
-        return out
+        return self._distinct_from(self._ac.contained(text))
 
     def any_in(self, text: str) -> bool:
         """True iff any surface is contained in ``text`` (first-hit

@@ -155,13 +155,12 @@ def conv_pair_scores(
     # numpy only above the crossover: the typical conversation yields
     # 2-5 occurrence positions per person, where five numpy calls per
     # pair cost more than the whole cross product in a list comp; the
-    # vectorized path exists for the skewed giant conversation
+    # vectorized path exists for the skewed giant conversation. Arrays
+    # build lazily inside the loop — only for persons whose pairs
+    # actually cross the threshold — and cache for the person's
+    # remaining pairs.
     _NP_CROSSOVER = 256
-    arrays = {
-        p: np.asarray(v, dtype=np.int64)
-        for p, v in positions_by_person.items()
-        if len(v) * len(v) > _NP_CROSSOVER
-    }
+    arrays: dict[str, np.ndarray] = {}
     pair_dists: dict[tuple[str, str], list[float]] = dict(prior)
     for i, p1 in enumerate(persons):
         pa = positions_by_person[p1]

@@ -92,8 +92,22 @@ def test_persons_in_clauses_equals_per_clause_scan(rows, clauses):
     assert idx.persons_in_clauses(clauses) == [idx.persons_in(c) for c in clauses]
 
 
+# surfaces that may CONTAIN clause delimiters: a match on one can
+# straddle a clause boundary in the full text — present in the detection
+# set, rejected by every per-clause bound check (messy registries carry
+# such aliases; the fused path must reject them exactly as the isolated
+# per-clause scan never sees them)
+STRADDLE_SURFACE = st.text(alphabet=ALPHA + "，。", min_size=1, max_size=4)
+STRADDLE_REGISTRY = st.lists(
+    st.tuples(STRADDLE_SURFACE, st.sampled_from(["陳一", "林二", "黃三"]),
+              st.sampled_from(["name", "字", "號"])),
+    min_size=1,
+    max_size=12,
+)
+
+
 @settings(max_examples=300, deadline=None)
-@given(REGISTRY, TEXT)
+@given(STRADDLE_REGISTRY, TEXT)
 def test_scan_text_clauses_equals_two_pass(rows, text):
     """The fused one-pass scan (detection + per-clause occurrences off a
     single full-text automaton walk, bucketed by clause char offsets)
